@@ -1,0 +1,457 @@
+"""LakeTable — a snapshot-isolated, versioned parquet table with keyed
+upsert semantics and an embedded commit-epoch dedup ledger.
+
+This is the engine's sink abstraction. The primary production target is
+an Iceberg table (``MERGE INTO`` + snapshot commits); this sandbox has no
+network to fetch the iceberg-spark-runtime jar, so LakeTable implements
+the same contract on plain parquet + an atomic JSON manifest chain:
+
+* **Insert-wins versioned upsert** — the ClickHouse
+  ``ReplacingMergeTree(revision)`` analog (reference
+  ``pipelines/bitcoin.py:128-131``): every row carries ``_rev`` (the
+  change's ``seq``); the max-``_rev`` row per ``doc_id`` wins. Deletes are
+  tombstone rows (``_deleted=true``) — merge-on-read, like RMT parts.
+* **Read-time finality** — ``read_final()`` is the ``SELECT … FINAL``
+  analog (reference ``pipelines/block_sync_pipeline.py:269-291``):
+  aggregate ``max_by(struct(*), _rev)`` per key, drop tombstones. max_by
+  does map-side partial aggregation, so hot keys collapse *before* the
+  shuffle — the skew mitigation SURVEY.md §4 calls for.
+* **Explicit compaction** — ``compact()`` is the ``OPTIMIZE TABLE …
+  FINAL`` analog (reference ``clickhouse/clickhouse_final_block_partition
+  .py:61-76``): folds all delta files into hash-bucketed base files.
+* **Atomic commits + snapshot isolation** — each commit writes data files
+  then publishes manifest ``v{N}.json`` via an exclusive hard-link (POSIX
+  ``link(2)`` fails if the target exists → optimistic concurrency).
+  Readers resolve the highest committed version; time travel via
+  ``version=``. This supplies the cross-statement transactionality the
+  reference lacks (SURVEY.md §3.3).
+* **Commit-epoch dedup ledger** — exactly-once apply over an
+  at-least-once stream (the reference is at-least-once with cursor-file
+  commit, ``streamer.py:97-103``; replays produce duplicates). The ledger
+  lives *inside the manifest*, so data + ledger commit in one atomic
+  rename — an epoch already in the ledger is skipped idempotently.
+* **Additive schema evolution** — manifest carries the current schema;
+  old files are read with the evolved schema (missing columns null-fill),
+  mirroring Iceberg add-column semantics (the multi-chain field-variance
+  analog, SURVEY.md §1.2).
+
+Scale notes: data files are hash-bucketed on the merge key
+(``pmod(xxhash64(doc_id), n_buckets)``), so point-lookups and future
+bucket-local compaction prune files; at cluster scale n_buckets is sized
+so a bucket fits an executor. All heavy work is DataFrame ops; the
+manifest is O(files) JSON handled on the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..schemas import merge_schemas, schema_from_json
+
+REV_COL = "_rev"
+DELETED_COL = "_deleted"
+BUCKET_COL = "_bucket"
+
+_MANIFEST_RE = re.compile(r"^v(\d+)\.json$")
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the same version first (optimistic CC)."""
+
+
+class LakeTable:
+    def __init__(self, path: str, key: str = "doc_id", n_buckets: int = 64):
+        self.path = path
+        self.key = key
+        self.n_buckets = n_buckets
+        self._manifest_dir = os.path.join(path, "manifest")
+        self._data_dir = os.path.join(path, "data")
+
+    # ------------------------------------------------------------------ setup
+    @classmethod
+    def create(
+        cls,
+        path: str,
+        schema: T.StructType,
+        key: str = "doc_id",
+        n_buckets: int = 64,
+        properties: dict | None = None,
+    ) -> "LakeTable":
+        """Create an empty table (schema = payload columns; engine adds
+        ``_rev``/``_deleted``)."""
+        t = cls(path, key=key, n_buckets=n_buckets)
+        os.makedirs(t._manifest_dir, exist_ok=True)
+        os.makedirs(t._data_dir, exist_ok=True)
+        if t.current_version() is not None:
+            raise ValueError(f"table already exists at {path}")
+        full = cls._with_engine_cols(schema)
+        t._publish(
+            {
+                "version": 0,
+                "parent": None,
+                "schema": json.loads(full.json()),
+                "key": key,
+                "n_buckets": n_buckets,
+                "files": [],
+                "ledger": {},
+                "properties": properties or {},
+                "committed_at": time.time(),
+            }
+        )
+        return t
+
+    @classmethod
+    def load(cls, path: str) -> "LakeTable":
+        t = cls(path)
+        m = t.manifest()
+        t.key = m["key"]
+        t.n_buckets = m["n_buckets"]
+        return t
+
+    @staticmethod
+    def _with_engine_cols(schema: T.StructType) -> T.StructType:
+        names = {f.name for f in schema.fields}
+        fields = list(schema.fields)
+        if REV_COL not in names:
+            fields.append(T.StructField(REV_COL, T.LongType(), False))
+        if DELETED_COL not in names:
+            fields.append(T.StructField(DELETED_COL, T.BooleanType(), False))
+        return T.StructType(fields)
+
+    # ------------------------------------------------------------- manifests
+    def current_version(self) -> int | None:
+        if not os.path.isdir(self._manifest_dir):
+            return None
+        versions = [
+            int(m.group(1))
+            for f in os.listdir(self._manifest_dir)
+            if (m := _MANIFEST_RE.match(f))
+        ]
+        return max(versions) if versions else None
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.path}")
+        with open(os.path.join(self._manifest_dir, f"v{v}.json")) as f:
+            return json.load(f)
+
+    def _publish(self, manifest: dict) -> None:
+        """Atomically publish manifest v{N}: hard-link from a temp file —
+        link(2) is atomic and fails with EEXIST if v{N} was already
+        committed by a concurrent writer."""
+        v = manifest["version"]
+        tmp = os.path.join(self._manifest_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        final = os.path.join(self._manifest_dir, f"v{v}.json")
+        try:
+            os.link(tmp, final)
+        except FileExistsError as e:
+            raise CommitConflict(f"version {v} already committed") from e
+        finally:
+            os.unlink(tmp)
+
+    def schema(self, version: int | None = None) -> T.StructType:
+        return schema_from_json(json.dumps(self.manifest(version)["schema"]))
+
+    def payload_schema(self, version: int | None = None) -> T.StructType:
+        full = self.schema(version)
+        return T.StructType(
+            [f for f in full.fields if f.name not in (REV_COL, DELETED_COL)]
+        )
+
+    def snapshots(self) -> list[dict]:
+        out = []
+        v = 0
+        while os.path.exists(os.path.join(self._manifest_dir, f"v{v}.json")):
+            m = self.manifest(v)
+            out.append(
+                {
+                    "version": v,
+                    "files": len(m["files"]),
+                    "rows": sum(f["rows"] for f in m["files"]),
+                    "committed_at": m.get("committed_at"),
+                    "operation": m.get("operation"),
+                }
+            )
+            v += 1
+        return out
+
+    # ---------------------------------------------------------------- ledger
+    def committed_epochs(self, pipeline_id: str) -> set[int]:
+        return {int(e) for e in self.manifest()["ledger"].get(pipeline_id, {})}
+
+    def ledger(self, pipeline_id: str | None = None) -> dict:
+        led = self.manifest()["ledger"]
+        return led.get(pipeline_id, {}) if pipeline_id else led
+
+    def lineage(self, spark: SparkSession) -> DataFrame:
+        """Per-epoch lineage/metrics as a DataFrame (T8/A7 analog —
+        reference ``progress_logger.py:30-83``)."""
+        rows = []
+        for pipe, epochs in self.manifest()["ledger"].items():
+            for epoch, info in epochs.items():
+                rows.append(
+                    {
+                        "pipeline_id": pipe,
+                        "epoch": int(epoch),
+                        "rows": int(info.get("rows", 0)),
+                        "upserts": int(info.get("upserts", 0)),
+                        "deletes": int(info.get("deletes", 0)),
+                        "quarantined": int(info.get("quarantined", 0)),
+                        "version": int(info.get("version", -1)),
+                        "committed_at": float(info.get("committed_at", 0.0)),
+                        "duration_ms": float(info.get("duration_ms", 0.0)),
+                        "max_seq": int(info.get("max_seq", -1)),
+                    }
+                )
+        schema = (
+            "pipeline_id string, epoch long, rows long, upserts long, "
+            "deletes long, quarantined long, version long, committed_at double, "
+            "duration_ms double, max_seq long"
+        )
+        return spark.createDataFrame(rows, schema=schema)
+
+    # ----------------------------------------------------------------- reads
+    def _read_files(
+        self, spark: SparkSession, files: list[dict], schema: T.StructType
+    ) -> DataFrame:
+        if not files:
+            return spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, f["path"]) for f in files]
+        # recursiveFileLookup disables hive partition inference so mixed
+        # snapshot dir layouts never surface phantom partition columns;
+        # explicit schema null-fills columns absent from old files
+        # (additive evolution).
+        return (
+            spark.read.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(*paths)
+        )
+
+    def read_raw(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """All row versions incl. tombstones (the unmerged-parts view)."""
+        m = self.manifest(version)
+        return self._read_files(spark, m["files"], self.schema(version))
+
+    def read_final(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Latest row image per key, tombstones dropped — ``FINAL``.
+
+        Fast path: if only compacted base files exist, they are already
+        unique-per-key, so no dedup aggregation is planned at all.
+        """
+        m = self.manifest(version)
+        schema = self.schema(version)
+        files = m["files"]
+        if all(f.get("kind") == "base" for f in files):
+            df = self._read_files(spark, files, schema)
+            return df.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
+        df = self._read_files(spark, files, schema)
+        payload = [f.name for f in schema.fields if f.name != self.key]
+        # max_by = partial-agg last-writer-wins: hot keys pre-collapse
+        # map-side instead of flooding one window partition.
+        agg = df.groupBy(self.key).agg(
+            F.max_by(F.struct(*payload), F.col(REV_COL)).alias("_latest")
+        )
+        out = agg.select(self.key, "_latest.*")
+        return out.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
+
+    def read_bucket_files(
+        self, spark: SparkSession, buckets: set[int]
+    ) -> DataFrame:
+        """Bucket-pruned raw read (point-lookup / partial-compaction path)."""
+        m = self.manifest()
+        picked = [
+            f for f in m["files"] if f.get("bucket") is None or f["bucket"] in buckets
+        ]
+        return self._read_files(spark, picked, self.schema())
+
+    # ---------------------------------------------------------------- writes
+    def _bucket_expr(self):
+        return F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets))
+
+    def _write_data(
+        self, df: DataFrame, subdir: str, by_bucket: bool
+    ) -> list[dict]:
+        """Write df under data/<subdir>/ and return manifest file entries.
+
+        ``by_bucket=True`` writes one directory per key-hash bucket
+        (partitionBy) so entries carry a bucket id for pruning.
+        """
+        out_dir = os.path.join(self._data_dir, subdir)
+        if by_bucket:
+            (
+                df.withColumn(BUCKET_COL, self._bucket_expr())
+                .repartition(self.n_buckets, BUCKET_COL)
+                .write.partitionBy(BUCKET_COL)
+                .mode("errorifexists")
+                .parquet(out_dir)
+            )
+        else:
+            df.write.mode("errorifexists").parquet(out_dir)
+        entries: list[dict] = []
+        for root, _dirs, names in os.walk(out_dir):
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, self.path)
+                bucket = None
+                mb = re.search(rf"{BUCKET_COL}=(\d+)", rel)
+                if mb:
+                    bucket = int(mb.group(1))
+                entries.append({"path": rel, "bucket": bucket, "rows": None})
+        return entries
+
+    @staticmethod
+    def _count_rows(entries: list[dict], table_path: str) -> None:
+        import pyarrow.parquet as pq
+
+        for e in entries:
+            if e["rows"] is None:
+                e["rows"] = pq.ParquetFile(
+                    os.path.join(table_path, e["path"])
+                ).metadata.num_rows
+
+    def _next_manifest(self, operation: str) -> dict:
+        m = self.manifest()
+        return {
+            "version": m["version"] + 1,
+            "parent": m["version"],
+            "schema": m["schema"],
+            "key": m["key"],
+            "n_buckets": m["n_buckets"],
+            "files": list(m["files"]),
+            "ledger": json.loads(json.dumps(m["ledger"])),
+            "properties": dict(m["properties"]),
+            "committed_at": time.time(),
+            "operation": operation,
+        }
+
+    def evolve_schema(self, extra: T.StructType) -> None:
+        """Additive column evolution committed as its own snapshot."""
+        cur = self.schema()
+        merged = merge_schemas(cur, extra)
+        if merged.fieldNames() == cur.fieldNames():
+            return
+        nm = self._next_manifest("evolve-schema")
+        nm["schema"] = json.loads(merged.json())
+        self._publish(nm)
+
+    def _align(self, df: DataFrame, schema: T.StructType) -> DataFrame:
+        """Project df onto schema: missing columns → typed nulls, order fixed."""
+        have = set(df.columns)
+        cols = [
+            F.col(f.name).cast(f.dataType) if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+        return df.select(*cols)
+
+    def append_delta(
+        self,
+        df: DataFrame,
+        *,
+        pipeline_id: str = "default",
+        epoch_id: int | None = None,
+        stats: dict | None = None,
+    ) -> dict:
+        """Append an upsert/tombstone delta commit (the RMT part insert).
+
+        ``df`` must carry payload columns + ``_rev`` + ``_deleted``. If
+        ``epoch_id`` is given and already in the ledger, the commit is
+        SKIPPED (exactly-once over at-least-once delivery). Ledger row and
+        data files land in one atomic manifest publish.
+        """
+        t0 = time.time()
+        if epoch_id is not None and epoch_id in self.committed_epochs(pipeline_id):
+            return {"skipped": True, "epoch": epoch_id}
+        # auto-evolve: source carries columns the table lacks yet
+        extra = [c for c in df.columns if c not in set(self.schema().fieldNames())]
+        if extra:
+            self.evolve_schema(
+                T.StructType([df.schema[c] for c in extra])
+            )
+        schema = self.schema()
+        aligned = self._align(df, schema)
+        sub = f"delta-{uuid.uuid4().hex[:12]}"
+        entries = self._write_data(aligned, sub, by_bucket=False)
+        for e in entries:
+            e["kind"] = "delta"
+        self._count_rows(entries, self.path)
+        rows = sum(e["rows"] for e in entries)
+        nm = self._next_manifest("append-delta")
+        nm["files"].extend(entries)
+        if epoch_id is not None:
+            led = nm["ledger"].setdefault(pipeline_id, {})
+            led[str(epoch_id)] = {
+                "rows": rows,
+                "version": nm["version"],
+                "committed_at": time.time(),
+                "duration_ms": (time.time() - t0) * 1000.0,
+                **(stats or {}),
+            }
+        try:
+            self._publish(nm)
+        except CommitConflict:
+            # lose the race: clean our data files and surface the conflict
+            shutil.rmtree(os.path.join(self._data_dir, sub), ignore_errors=True)
+            raise
+        return {"skipped": False, "epoch": epoch_id, "rows": rows,
+                "version": nm["version"]}
+
+    def compact(self, spark: SparkSession) -> dict:
+        """Fold deltas into unique-per-key, hash-bucketed base files —
+        the ``OPTIMIZE TABLE … FINAL`` analog. Keeps tombstones OUT of the
+        base (fully merged). Old files are dropped from the manifest (and
+        garbage-collectable); ledger is preserved."""
+        m = self.manifest()
+        if all(f.get("kind") == "base" for f in m["files"]) and m["files"]:
+            return {"compacted": False, "reason": "already-base"}
+        final = self.read_final(spark).withColumn(DELETED_COL, F.lit(False))
+        final = self._align(final, self.schema())
+        sub = f"base-v{m['version'] + 1}-{uuid.uuid4().hex[:8]}"
+        entries = self._write_data(final, sub, by_bucket=True)
+        for e in entries:
+            e["kind"] = "base"
+        self._count_rows(entries, self.path)
+        nm = self._next_manifest("compact")
+        old = [f["path"] for f in nm["files"]]
+        nm["files"] = entries
+        self._publish(nm)
+        return {
+            "compacted": True,
+            "version": nm["version"],
+            "base_files": len(entries),
+            "rows": sum(e["rows"] for e in entries),
+            "replaced_files": len(old),
+        }
+
+    def vacuum(self, keep_versions: int = 2) -> int:
+        """Delete data files unreferenced by the last ``keep_versions``
+        manifests (snapshot-expiry analog). Returns #files removed."""
+        cur = self.current_version() or 0
+        keep: set[str] = set()
+        for v in range(max(0, cur - keep_versions + 1), cur + 1):
+            if os.path.exists(os.path.join(self._manifest_dir, f"v{v}.json")):
+                keep.update(f["path"] for f in self.manifest(v)["files"])
+        removed = 0
+        for root, _dirs, names in os.walk(self._data_dir):
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(os.path.join(root, name), self.path)
+                if rel not in keep:
+                    os.unlink(os.path.join(root, name))
+                    removed += 1
+        return removed

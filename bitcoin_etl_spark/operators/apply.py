@@ -1,0 +1,124 @@
+"""EpochApplier — apply one epoch of change events into a LakeTable.
+
+This is the collapsed form of the reference's entire apply/repair layer
+(SURVEY.md §3.3): what bitcoin-etl does as a sequence of non-transactional
+ClickHouse statements (stage → validate → populate → finalize), this
+engine does as one DataFrame pipeline ending in a single atomic manifest
+commit per epoch:
+
+    validate (quarantine bad rows)                 [P-class transforms]
+    → per-key last-event-wins reduction            [C1 pre-merge, skew-safe]
+    → project to table row shape (_rev, _deleted)  [P13 PK + version stamp]
+    → LakeTable.append_delta(epoch_id=…)           [C1 + exactly-once ledger]
+    → periodic compact                             [C2 OPTIMIZE FINAL]
+
+Reorg rollbacks need no special path: compensation D events become
+tombstones with higher ``_rev`` than the rows they kill (C4/C5 analog).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..lake.table import DELETED_COL, REV_COL, LakeTable
+from .reduce import last_event_wins
+from .validate import split_valid_invalid
+
+CHANGE_META_COLS = ("seq", "epoch", "op", "block", "reorg_of", "ingest_ts")
+
+
+class EpochApplier:
+    def __init__(
+        self,
+        table: LakeTable,
+        pipeline_id: str = "default",
+        quarantine_dir: str | None = None,
+        compact_every: int = 0,
+        use_pandas_udf_validation: bool = False,
+    ):
+        self.table = table
+        self.pipeline_id = pipeline_id
+        self.quarantine_dir = quarantine_dir or os.path.join(
+            table.path, "quarantine"
+        )
+        self.compact_every = compact_every
+        self.use_pandas_udf_validation = use_pandas_udf_validation
+        self._applied_since_compact = 0
+
+    def _to_table_rows(self, df: DataFrame) -> DataFrame:
+        """Change-event rows → table rows: payload + _rev + tombstone flag.
+
+        D events keep only the key (payload columns nulled by _align on
+        write), so tombstones stay narrow.
+        """
+        drop = [c for c in ("epoch", "block", "reorg_of", "ingest_ts") if c in df.columns]
+        out = (
+            df.withColumn(REV_COL, F.col("seq"))
+            .withColumn(DELETED_COL, F.col("op") == "D")
+            .drop("seq", "op", *drop)
+        )
+        return out
+
+    def apply_epoch(self, spark: SparkSession, df: DataFrame, epoch_id: int) -> dict:
+        """Idempotently apply one epoch. Returns commit stats."""
+        if epoch_id in self.table.committed_epochs(self.pipeline_id):
+            return {"skipped": True, "epoch": epoch_id}
+
+        valid, bad = split_valid_invalid(df, self.use_pandas_udf_validation)
+        n_bad = bad.count()
+        if n_bad:
+            (
+                bad.write.mode("errorifexists").parquet(
+                    os.path.join(
+                        self.quarantine_dir,
+                        f"epoch={epoch_id}-{uuid.uuid4().hex[:8]}",
+                    )
+                )
+            )
+
+        reduced = last_event_wins(valid, key=self.table.key, seq="seq")
+        agg = reduced.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("d"),
+            F.max("seq").alias("mx"),
+        ).collect()[0]
+        rows = self._to_table_rows(reduced)
+        stats = {
+            "upserts": int(agg["n"] or 0) - int(agg["d"] or 0),
+            "deletes": int(agg["d"] or 0),
+            "quarantined": int(n_bad),
+            "max_seq": int(agg["mx"]) if agg["mx"] is not None else -1,
+        }
+        res = self.table.append_delta(
+            rows, pipeline_id=self.pipeline_id, epoch_id=epoch_id, stats=stats
+        )
+        if not res.get("skipped"):
+            self._applied_since_compact += 1
+            if self.compact_every and self._applied_since_compact >= self.compact_every:
+                self.table.compact(spark)
+                self._applied_since_compact = 0
+        return {**res, **stats}
+
+    def apply_changes_df(self, spark: SparkSession, df: DataFrame) -> list[dict]:
+        """Apply a multi-epoch batch in ascending epoch order (used by the
+        streaming foreachBatch body, where one micro-batch may span
+        epochs). Distinct-epoch list is tiny (bounded by batch size)."""
+        epochs = sorted(
+            r["epoch"] for r in df.select("epoch").distinct().collect()
+        )
+        results = []
+        for e in epochs:
+            results.append(
+                self.apply_epoch(spark, df.filter(F.col("epoch") == e), int(e))
+            )
+        return results
+
+    def quarantined(self, spark: SparkSession) -> DataFrame | None:
+        if not os.path.isdir(self.quarantine_dir):
+            return None
+        return spark.read.option("recursiveFileLookup", "true").parquet(
+            self.quarantine_dir
+        )

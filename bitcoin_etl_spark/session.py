@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for the CDC engine.
+
+Local mode is a single JVM; on a real cluster the same configs apply per
+executor. AQE is always on: it handles runtime partition coalescing and
+skew-join splitting, which matters for the MERGE shuffle at 10^10-event
+scale (SURVEY.md §4 skew row).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "bitcoin_etl_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``shuffle_partitions`` defaults to the core count: at local scale the
+    200-partition default over-parallelizes tiny shuffles; on a cluster
+    callers pass ~2-3x total cores and let AQE coalesce.
+    """
+    cores = cores or default_parallelism()
+    shuffle_partitions = shuffle_partitions or cores
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # File-source streaming + many small commits: keep listing cheap.
+        .config("spark.sql.streaming.schemaInference", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,211 @@
+"""End-to-end CDC replay scenarios vs the pandas oracle — the analog of
+the reference's golden-fixture job tests
+(``tests/bitcoinetl/job/test_export_blocks_job.py:40-95``): replay the
+full change log through the engine, assert final table state equals the
+independent oracle row-for-row under token-array equality
+(FIXTURES.md §4 scenario matrix)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bitcoin_etl_spark.changelog import ChangeLogSpec, generate_scenario
+from bitcoin_etl_spark.lake import LakeTable
+from bitcoin_etl_spark.operators import EpochApplier
+from bitcoin_etl_spark.operators.repair import (
+    count_conservation,
+    enrichment_disagreement,
+    find_duplicate_keys,
+    find_missing_epochs,
+    find_unapplied_changes,
+    patch_by_replay,
+)
+from bitcoin_etl_spark.schemas import CHANGES_SCHEMA, DOCS_COMPARE_COLUMNS, DOCS_SCHEMA
+from tests.helpers import assert_docs_equal, spark_docs_to_pandas
+
+import pandas as pd
+
+
+def _read_changes(spark, scen_dir, sub="changes"):
+    return (
+        spark.read.schema(_schema_with_epoch())
+        .option("basePath", f"{scen_dir}/{sub}")
+        .parquet(f"{scen_dir}/{sub}")
+    )
+
+
+def _schema_with_epoch():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        list(CHANGES_SCHEMA.fields) + [T.StructField("epoch", T.LongType(), True)]
+    )
+
+
+def _payload_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType([f for f in DOCS_SCHEMA.fields if f.name != "_rev"])
+
+
+def _replay(spark, scen_dir, table_dir, *, compact_every=0, pandas_udf=False,
+            n_epochs=None):
+    table = LakeTable.create(table_dir, _payload_schema(), key="doc_id", n_buckets=8)
+    applier = EpochApplier(
+        table, compact_every=compact_every, use_pandas_udf_validation=pandas_udf
+    )
+    changes = _read_changes(spark, scen_dir)
+    applier.apply_changes_df(spark, changes)
+    return table, applier, changes
+
+
+def _assert_matches_oracle(spark, table, scen_dir):
+    actual = spark_docs_to_pandas(
+        table.read_final(spark).select(*DOCS_COMPARE_COLUMNS)
+    )
+    expected = pd.read_parquet(f"{scen_dir}/expected_docs.parquet")[
+        DOCS_COMPARE_COLUMNS
+    ]
+    assert_docs_equal(actual, expected)
+
+
+SCENARIOS = {
+    "base_insert_only": ChangeLogSpec(
+        n_epochs=4, events_per_epoch=400, n_keys=5000, update_frac=0, delete_frac=0
+    ),
+    "upsert_mix": ChangeLogSpec(n_epochs=6, events_per_epoch=500, n_keys=800),
+    "dup_in_batch": ChangeLogSpec(
+        n_epochs=4, events_per_epoch=400, n_keys=300, dup_in_batch_frac=0.2
+    ),
+    "replayed_epoch": ChangeLogSpec(
+        n_epochs=5, events_per_epoch=300, n_keys=400, replay_epochs=[1, 3]
+    ),
+    "reorg_rollback": ChangeLogSpec(
+        n_epochs=6, events_per_epoch=300, n_keys=400, reorgs=[(2, 5), (4, 12)]
+    ),
+    "hot_key_zipf": ChangeLogSpec(
+        n_epochs=4, events_per_epoch=2000, n_keys=1000, zipf_a=1.2
+    ),
+    "bad_rows": ChangeLogSpec(
+        n_epochs=4, events_per_epoch=400, n_keys=300, bad_row_frac=0.1
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(SCENARIOS))
+def test_replay_matches_oracle(spark, tmp_path, name):
+    scen_dir = str(tmp_path / name)
+    generate_scenario(scen_dir, SCENARIOS[name])
+    table, applier, changes = _replay(
+        spark, scen_dir, str(tmp_path / "t"),
+        pandas_udf=(name == "bad_rows"),  # exercise the Arrow-UDF path too
+    )
+    _assert_matches_oracle(spark, table, scen_dir)
+    # invariants (FIXTURES.md §6)
+    final = table.read_final(spark)
+    assert find_duplicate_keys(final).count() == 0
+    assert find_missing_epochs(spark, table).count() == 0
+    cons = count_conservation(spark, table, _valid_changes(changes))
+    assert cons["conserved"], cons
+
+
+def _valid_changes(changes):
+    from bitcoin_etl_spark.operators.validate import tokens_valid_expr
+
+    return changes.withColumn("_v", tokens_valid_expr()).filter(F.col("_v")).drop("_v")
+
+
+def test_replayed_epoch_is_idempotent(spark, tmp_path):
+    """Re-applying every epoch a second time must not change the state
+    (exactly-once ledger; FIXTURES.md §6.5)."""
+    scen_dir = str(tmp_path / "scen")
+    generate_scenario(scen_dir, SCENARIOS["upsert_mix"])
+    table, applier, changes = _replay(spark, scen_dir, str(tmp_path / "t"))
+    v_before = table.current_version()
+    results = applier.apply_changes_df(spark, changes)  # full duplicate replay
+    assert all(r["skipped"] for r in results)
+    assert table.current_version() == v_before
+    _assert_matches_oracle(spark, table, scen_dir)
+
+
+def test_compaction_preserves_state_and_dedups_files(spark, tmp_path):
+    scen_dir = str(tmp_path / "scen")
+    generate_scenario(scen_dir, SCENARIOS["upsert_mix"])
+    table, applier, _ = _replay(spark, scen_dir, str(tmp_path / "t"))
+    res = table.compact(spark)
+    assert res["compacted"]
+    m = table.manifest()
+    assert all(f["kind"] == "base" for f in m["files"])
+    assert all(f["bucket"] is not None for f in m["files"])
+    _assert_matches_oracle(spark, table, scen_dir)
+    # base fast path: no dedup agg needed; row count equals file meta sum
+    assert table.read_final(spark).count() == sum(
+        f["rows"] for f in m["files"]
+    ) - table.read_raw(spark).filter("_deleted").count()
+    # vacuum drops unreferenced deltas but table still reads fine
+    removed = table.vacuum(keep_versions=1)
+    assert removed > 0
+    _assert_matches_oracle(spark, table, scen_dir)
+
+
+def test_periodic_compaction_during_replay(spark, tmp_path):
+    scen_dir = str(tmp_path / "scen")
+    generate_scenario(scen_dir, SCENARIOS["reorg_rollback"])
+    table, applier, _ = _replay(
+        spark, scen_dir, str(tmp_path / "t"), compact_every=2
+    )
+    _assert_matches_oracle(spark, table, scen_dir)
+
+
+def test_gap_and_patch(spark, tmp_path):
+    """Withheld epoch → gap detected → patch-by-replay heals (C5/J6)."""
+    spec = ChangeLogSpec(
+        n_epochs=6, events_per_epoch=300, n_keys=400, withhold_epochs=[2]
+    )
+    scen_dir = str(tmp_path / "scen")
+    generate_scenario(scen_dir, spec)
+    table, applier, changes = _replay(spark, scen_dir, str(tmp_path / "t"))
+    missing = find_missing_epochs(spark, table, expected_max=5)
+    assert [r["epoch"] for r in missing.collect()] == [2]
+    patches = _read_changes(spark, scen_dir, sub="patches")
+    patch_by_replay(spark, applier, patches)
+    assert find_missing_epochs(spark, table, expected_max=5).count() == 0
+    _assert_matches_oracle(spark, table, scen_dir)
+
+
+def test_bad_rows_are_quarantined(spark, tmp_path):
+    spec = SCENARIOS["bad_rows"]
+    scen_dir = str(tmp_path / "scen")
+    generate_scenario(scen_dir, spec)
+    table, applier, changes = _replay(spark, scen_dir, str(tmp_path / "t"))
+    q = applier.quarantined(spark)
+    assert q is not None and q.count() > 0
+    # every quarantined row violates the validity rule
+    from bitcoin_etl_spark.operators.validate import tokens_valid_expr
+
+    assert q.withColumn("_v", tokens_valid_expr()).filter(F.col("_v")).count() == 0
+    # lineage records quarantine counts
+    lin = table.lineage(spark).toPandas()
+    assert lin["quarantined"].sum() == q.count()
+
+
+def test_repair_probes_clean_after_replay(spark, tmp_path):
+    scen_dir = str(tmp_path / "scen")
+    generate_scenario(scen_dir, SCENARIOS["reorg_rollback"])
+    table, applier, changes = _replay(spark, scen_dir, str(tmp_path / "t"))
+    valid = _valid_changes(changes)
+    assert find_unapplied_changes(spark, table, valid).count() == 0
+    assert enrichment_disagreement(spark, table, valid).count() == 0
+
+
+def test_time_travel_and_snapshots(spark, tmp_path):
+    scen_dir = str(tmp_path / "scen")
+    generate_scenario(scen_dir, SCENARIOS["upsert_mix"])
+    table, applier, _ = _replay(spark, scen_dir, str(tmp_path / "t"))
+    snaps = table.snapshots()
+    assert len(snaps) >= 2
+    # an old snapshot has no more rows than the final one has revisions
+    early = table.read_raw(spark, version=1).count()
+    late = table.read_raw(spark).count()
+    assert early <= late
