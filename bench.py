@@ -1,0 +1,159 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Measures (a) the authoritative metric: change-events/sec for an
+end-to-end CDC replay (generate→validate→reduce→merge-commit→compact)
+into a LakeTable, and (b) wall time for the headline analytical queries
+at $SPARK_GRAFT_SF_DIR.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] cores (default 32)
+  BENCH_CDC_EVENTS    override CDC event count (default 20M * sf)
+  BENCH_CDC_ONLY=1    skip analytical queries (used by BENCH/scaling.py)
+
+Output: {"metric": "...", "value": <total sec>, "unit": "sec",
+         "queries": {name: sec}, "sf": <sf>, "cdc": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bitcoin_etl_spark.session import get_spark  # noqa: E402
+
+HEADLINE_QUERIES = [
+    "cdc_replay_last_wins",
+    "cdc_enrich_join",
+    "cdc_gap_detect",
+    "tx_derived_aggregates",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "events_sessionize",
+    "explode_tokens_stats",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+]
+
+CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+
+def sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def ensure_changelog(n_events: int, n_epochs: int, n_keys: int) -> str:
+    """Deterministic change log for the CDC bench, cached across runs."""
+    from bitcoin_etl_spark.changelog import ChangeLogSpec, generate_scenario
+
+    tag = f"ev{n_events}_ep{n_epochs}_k{n_keys}"
+    out = os.path.join(CACHE_ROOT, tag)
+    if os.path.exists(os.path.join(out, "manifest.json")):
+        return out
+    spec = ChangeLogSpec(
+        n_epochs=n_epochs,
+        events_per_epoch=n_events // n_epochs,
+        n_keys=n_keys,
+        zipf_a=1.2,          # hot-key skew ON in the bench (north_rule)
+        update_frac=0.3,
+        delete_frac=0.05,
+        reorgs=[(n_epochs // 2, 5)],
+    )
+    generate_scenario(out, spec, oracle=False)
+    return out
+
+
+def run_cdc_replay(spark, scen_dir: str, n_buckets: int) -> dict:
+    from pyspark.sql import types as T
+
+    from bitcoin_etl_spark.lake import LakeTable
+    from bitcoin_etl_spark.operators import EpochApplier
+    from bitcoin_etl_spark.schemas import CHANGES_SCHEMA, DOCS_SCHEMA
+
+    read_schema = T.StructType(
+        list(CHANGES_SCHEMA.fields) + [T.StructField("epoch", T.LongType(), True)]
+    )
+    payload = T.StructType([f for f in DOCS_SCHEMA.fields if f.name != "_rev"])
+    tdir = tempfile.mkdtemp(prefix="cdc_bench_table_")
+    shutil.rmtree(tdir)
+    table = LakeTable.create(tdir, payload, n_buckets=n_buckets)
+    applier = EpochApplier(table, pipeline_id="bench")
+    changes = (
+        spark.read.schema(read_schema)
+        .option("basePath", f"{scen_dir}/changes")
+        .parquet(f"{scen_dir}/changes")
+    )
+    n_events = changes.count()
+    t0 = time.time()
+    applier.apply_changes_df(spark, changes)
+    apply_s = time.time() - t0
+    t1 = time.time()
+    table.compact(spark)
+    compact_s = time.time() - t1
+    rows = table.read_final(spark).count()
+    total = time.time() - t0
+    shutil.rmtree(tdir, ignore_errors=True)
+    return {
+        "events": n_events,
+        "final_rows": rows,
+        "apply_sec": round(apply_s, 3),
+        "compact_sec": round(compact_s, 3),
+        "total_sec": round(total, 3),
+        "events_per_sec": round(n_events / total, 1),
+        "events_per_sec_apply_only": round(n_events / apply_s, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_of(sf_dir)
+    cdc_only = os.environ.get("BENCH_CDC_ONLY") == "1"
+
+    n_events = int(os.environ.get("BENCH_CDC_EVENTS", str(int(20_000_000 * sf))))
+    n_epochs = 8
+    n_keys = max(1000, n_events // 4)
+    scen_dir = ensure_changelog(n_events, n_epochs, n_keys)
+
+    spark = get_spark(
+        app_name="bitcoin_etl_spark_bench", cores=cores, shuffle_partitions=cores
+    )
+
+    t_start = time.time()
+    cdc = run_cdc_replay(spark, scen_dir, n_buckets=max(16, cores * 2))
+
+    queries: dict[str, float] = {}
+    if not cdc_only:
+        from bitcoin_etl_spark.plans.queries import QUERIES
+
+        for name in HEADLINE_QUERIES:
+            t0 = time.time()
+            df = QUERIES[name](spark, sf_dir)
+            n = df.count()
+            queries[name] = round(time.time() - t0, 3)
+            _ = n
+
+    total = round(time.time() - t_start, 3)
+    out = {
+        "metric": "cdc_replay_plus_headline_queries_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cores": cores,
+        "cdc": cdc,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

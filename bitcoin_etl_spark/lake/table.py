@@ -365,6 +365,7 @@ class LakeTable:
         pipeline_id: str = "default",
         epoch_id: int | None = None,
         stats: dict | None = None,
+        stats_cb=None,
     ) -> dict:
         """Append an upsert/tombstone delta commit (the RMT part insert).
 
@@ -392,6 +393,11 @@ class LakeTable:
         rows = sum(e["rows"] for e in entries)
         nm = self._next_manifest("append-delta")
         nm["files"].extend(entries)
+        extra = dict(stats or {})
+        if stats_cb is not None:
+            # data write (the action) is done — observed metrics are ready;
+            # they land in the SAME atomic manifest commit as the data.
+            extra.update(stats_cb() or {})
         if epoch_id is not None:
             led = nm["ledger"].setdefault(pipeline_id, {})
             led[str(epoch_id)] = {
@@ -399,7 +405,7 @@ class LakeTable:
                 "version": nm["version"],
                 "committed_at": time.time(),
                 "duration_ms": (time.time() - t0) * 1000.0,
-                **(stats or {}),
+                **extra,
             }
         try:
             self._publish(nm)

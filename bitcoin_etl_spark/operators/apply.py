@@ -14,6 +14,14 @@ commit per epoch:
 
 Reorg rollbacks need no special path: compensation D events become
 tombstones with higher ``_rev`` than the rows they kill (C4/C5 analog).
+
+Cost model: ONE Spark job per epoch. Validation/reduction stats ride the
+delta-write action as ``Observation`` metrics (the ``observe()`` analog
+of the reference's AtomicCounter sink metrics, A7/T8 —
+``composite_item_exporter.py:70-79``) instead of separate count jobs.
+Quarantine is ``eager`` (bad rows written per epoch — one extra job) or
+``lazy`` (bad rows remain derivable from the change log via
+``scan_quarantine``; nothing extra on the hot path).
 """
 
 from __future__ import annotations
@@ -21,11 +29,11 @@ from __future__ import annotations
 import os
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from ..lake.table import DELETED_COL, REV_COL, LakeTable
 from .reduce import last_event_wins
-from .validate import split_valid_invalid
+from .validate import split_valid_invalid, tokens_valid_expr, tokens_valid_udf
 
 CHANGE_META_COLS = ("seq", "epoch", "op", "block", "reorg_of", "ingest_ts")
 
@@ -38,6 +46,7 @@ class EpochApplier:
         quarantine_dir: str | None = None,
         compact_every: int = 0,
         use_pandas_udf_validation: bool = False,
+        quarantine_mode: str = "eager",  # "eager" | "lazy"
     ):
         self.table = table
         self.pipeline_id = pipeline_id
@@ -46,61 +55,80 @@ class EpochApplier:
         )
         self.compact_every = compact_every
         self.use_pandas_udf_validation = use_pandas_udf_validation
+        self.quarantine_mode = quarantine_mode
         self._applied_since_compact = 0
 
-    def _to_table_rows(self, df: DataFrame) -> DataFrame:
-        """Change-event rows → table rows: payload + _rev + tombstone flag.
+    def _valid_flag(self):
+        if self.use_pandas_udf_validation:
+            return tokens_valid_udf(F.col("tokens"), F.col("n_tok"), F.col("op"))
+        return tokens_valid_expr()
 
-        D events keep only the key (payload columns nulled by _align on
-        write), so tombstones stay narrow.
-        """
-        drop = [c for c in ("epoch", "block", "reorg_of", "ingest_ts") if c in df.columns]
-        out = (
+    def _to_table_rows(self, df: DataFrame) -> DataFrame:
+        """Change-event rows → table rows: payload + _rev + tombstone flag."""
+        drop = [
+            c for c in ("epoch", "block", "reorg_of", "ingest_ts") if c in df.columns
+        ]
+        return (
             df.withColumn(REV_COL, F.col("seq"))
             .withColumn(DELETED_COL, F.col("op") == "D")
             .drop("seq", "op", *drop)
         )
-        return out
 
     def apply_epoch(self, spark: SparkSession, df: DataFrame, epoch_id: int) -> dict:
         """Idempotently apply one epoch. Returns commit stats."""
         if epoch_id in self.table.committed_epochs(self.pipeline_id):
             return {"skipped": True, "epoch": epoch_id}
 
-        valid, bad = split_valid_invalid(df, self.use_pandas_udf_validation)
-        n_bad = bad.count()
-        if n_bad:
-            (
+        n_bad = 0
+        if self.quarantine_mode == "eager":
+            valid, bad = split_valid_invalid(df, self.use_pandas_udf_validation)
+            n_bad = bad.count()
+            if n_bad:
                 bad.write.mode("errorifexists").parquet(
                     os.path.join(
                         self.quarantine_dir,
                         f"epoch={epoch_id}-{uuid.uuid4().hex[:8]}",
                     )
                 )
+            obs_in = None
+        else:
+            # lazy: count invalids as an observed metric on the same pass
+            obs_in = Observation(f"in-{epoch_id}-{uuid.uuid4().hex[:6]}")
+            flagged = df.withColumn("_valid", self._valid_flag()).observe(
+                obs_in,
+                F.sum((~F.col("_valid")).cast("long")).alias("n_bad"),
             )
+            valid = flagged.filter(F.col("_valid")).drop("_valid")
 
         reduced = last_event_wins(valid, key=self.table.key, seq="seq")
-        agg = reduced.agg(
-            F.count("*").alias("n"),
-            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("d"),
-            F.max("seq").alias("mx"),
-        ).collect()[0]
-        rows = self._to_table_rows(reduced)
-        stats = {
-            "upserts": int(agg["n"] or 0) - int(agg["d"] or 0),
-            "deletes": int(agg["d"] or 0),
-            "quarantined": int(n_bad),
-            "max_seq": int(agg["mx"]) if agg["mx"] is not None else -1,
-        }
+        obs_out = Observation(f"out-{epoch_id}-{uuid.uuid4().hex[:6]}")
+        rows = self._to_table_rows(reduced).observe(
+            obs_out,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(DELETED_COL).cast("long")).alias("d"),
+            F.max(REV_COL).alias("mx"),
+        )
+        def _stats() -> dict:
+            m = obs_out.get
+            bad = n_bad
+            if obs_in is not None:
+                bad = int(obs_in.get.get("n_bad") or 0)
+            return {
+                "upserts": int(m.get("n") or 0) - int(m.get("d") or 0),
+                "deletes": int(m.get("d") or 0),
+                "quarantined": int(bad),
+                "max_seq": int(m["mx"]) if m.get("mx") is not None else -1,
+            }
+
         res = self.table.append_delta(
-            rows, pipeline_id=self.pipeline_id, epoch_id=epoch_id, stats=stats
+            rows, pipeline_id=self.pipeline_id, epoch_id=epoch_id, stats_cb=_stats
         )
         if not res.get("skipped"):
             self._applied_since_compact += 1
             if self.compact_every and self._applied_since_compact >= self.compact_every:
                 self.table.compact(spark)
                 self._applied_since_compact = 0
-        return {**res, **stats}
+        return res
 
     def apply_changes_df(self, spark: SparkSession, df: DataFrame) -> list[dict]:
         """Apply a multi-epoch batch in ascending epoch order (used by the
@@ -122,3 +150,9 @@ class EpochApplier:
         return spark.read.option("recursiveFileLookup", "true").parquet(
             self.quarantine_dir
         )
+
+    def scan_quarantine(self, changes: DataFrame) -> DataFrame:
+        """Lazy-mode quarantine view: invalid rows derived from the log."""
+        return changes.withColumn("_v", self._valid_flag()).filter(
+            ~F.col("_v")
+        ).drop("_v")

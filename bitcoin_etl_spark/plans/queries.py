@@ -1,0 +1,766 @@
+"""Query registry: every implemented operator class from SURVEY.md §2 as a
+(spark_fn, duckdb_oracle_sql) pair over the driver's testdata tables.
+
+Conventions for oracle-hash stability:
+* every computed column is aliased identically in Spark and SQL;
+* monetary/double aggregates go through DECIMAL(18,2) (exact, order-
+  independent) and are cast back to double;
+* ratios are emitted as (numerator, denominator) pairs, never divided;
+* timestamps are emitted as formatted strings (UTC both sides);
+* similarity scores are emitted as ranks, not floats.
+
+Each function cites the reference operator it demonstrates (SURVEY.md §2
+ids; file:line into /root/reference).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def run_query(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return QUERIES[name](spark, sf_dir)
+
+
+def _hex32_to_long(col):
+    """First 8 hex chars of md5 → unsigned 32-bit int as long (identical
+    in DuckDB via ('0x'||substr(md5(x),1,8))::UBIGINT)."""
+    return F.conv(F.substring(col, 1, 8), 16, 10).cast("long")
+
+
+# =========================================================================
+# CDC core (the engine's own semantics, derived from the events table so
+# the DuckDB oracle can replay them independently)
+# =========================================================================
+
+def _changes_from_events(spark, sf_dir):
+    """Reinterpret `events` as a change log: seq=event_id, key=user_id,
+    'error' events are deletes — the item-stream shape of
+    `btc_streamer_adapter.py:99` with item_id per P13."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("seq"),
+        F.concat(F.lit("doc_"), F.col("user_id").cast("string")).alias("doc_id"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+
+
+@_q(
+    "cdc_replay_last_wins",
+    """
+    SELECT doc_id, seq AS last_seq, event_type AS last_type, value AS last_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) rn
+      FROM (
+        SELECT event_id AS seq,
+               'doc_' || CAST(user_id AS VARCHAR) AS doc_id,
+               CASE WHEN event_type='error' THEN 'D' ELSE 'U' END AS op,
+               event_type, value
+        FROM events
+      )
+    ) WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_replay_last_wins(spark, sf_dir):
+    """C1/C3: last-event-wins replay, deletes drop the key (the
+    ReplacingMergeTree-FINAL semantics, reference
+    pipelines/bitcoin.py:128-131). Spark plan: map-side-partial max_by
+    aggregate, no window — the skew-safe form."""
+    ch = _changes_from_events(spark, sf_dir)
+    latest = ch.groupBy("doc_id").agg(
+        F.max_by(F.struct("op", "event_type", "value"), F.col("seq")).alias("x"),
+        F.max("seq").alias("last_seq"),
+    )
+    return latest.filter(F.col("x.op") != "D").select(
+        "doc_id",
+        "last_seq",
+        F.col("x.event_type").alias("last_type"),
+        F.col("x.value").alias("last_value"),
+    )
+
+
+@_q(
+    "cdc_latest_revision",
+    """
+    SELECT 'doc_' || CAST(user_id AS VARCHAR) AS doc_id,
+           max(event_id) AS last_seq, count(*) AS n_revisions
+    FROM events GROUP BY 1
+    """,
+)
+def cdc_latest_revision(spark, sf_dir):
+    """C3 read-time finality + A1 revision counting: per-key high
+    watermark and revision count (reference FINAL reads,
+    pipelines/block_sync_pipeline.py:269-291)."""
+    ch = _changes_from_events(spark, sf_dir)
+    return ch.groupBy("doc_id").agg(
+        F.max("seq").alias("last_seq"), F.count("*").alias("n_revisions")
+    )
+
+
+@_q(
+    "cdc_dup_detect",
+    """
+    SELECT doc_id, cnt FROM (
+      SELECT 'doc_' || CAST(user_id AS VARCHAR) AS doc_id, count(*) AS cnt
+      FROM events GROUP BY 1
+    ) WHERE cnt > 1
+    """,
+)
+def cdc_dup_detect(spark, sf_dir):
+    """A3: GROUP BY key HAVING count>1 duplicate-PK probe (reference
+    clickhouse_sync_data.py:303-315)."""
+    ch = _changes_from_events(spark, sf_dir)
+    return (
+        ch.groupBy("doc_id").agg(F.count("*").alias("cnt")).filter(F.col("cnt") > 1)
+    )
+
+
+@_q(
+    "cdc_gap_detect",
+    """
+    WITH seq AS (
+      SELECT unnest(generate_series(0, (SELECT max(o_orderkey) FROM orders))) AS k
+    ), have AS (SELECT DISTINCT l_orderkey AS k FROM lineitem)
+    SELECT count(*) AS n_missing,
+           min(seq.k) AS first_missing, max(seq.k) AS last_missing
+    FROM seq LEFT JOIN have ON seq.k = have.k WHERE have.k IS NULL
+    """,
+)
+def cdc_gap_detect(spark, sf_dir):
+    """J6: dense sequence ⟕anti⟕ observed keys → gaps (reference
+    clickhouse_missing_block_detection.py:47-60 numbers() anti-join)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    seq = spark.range(0, hi + 1).withColumnRenamed("id", "k")
+    have = li.select(F.col("l_orderkey").alias("k")).distinct()
+    missing = seq.join(have, "k", "left_anti")
+    return missing.agg(
+        F.count("*").alias("n_missing"),
+        F.min("k").alias("first_missing"),
+        F.max("k").alias("last_missing"),
+    )
+
+
+@_q(
+    "cdc_missing_refs",
+    """
+    SELECT o.o_orderkey, o.o_orderstatus
+    FROM orders o LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l
+      ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_orderkey IS NULL
+    """,
+)
+def cdc_missing_refs(spark, sf_dir):
+    """J4: containment left-anti — parents with no children (reference
+    missing-transaction detection, clickhouse_missing_tx_detection.py:37-61:
+    exploded block.tx list anti-join tx table)."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return orders.join(
+        li.select("l_orderkey").distinct(),
+        orders.o_orderkey == li.l_orderkey,
+        "left_anti",
+    ).select("o_orderkey", "o_orderstatus")
+
+
+@_q(
+    "cdc_enrich_join",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, c.c_nationkey,
+           l.l_extendedprice, o.o_orderpriority
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def cdc_enrich_join(spark, sf_dir):
+    """J1/J2: the spend-enrichment equi-join chain (reference
+    jobs/enrich_transactions.py:56-100 build/probe hash join; SQL form
+    pipelines/block_sync_pipeline.py:354-385). Catalyst broadcast-joins
+    the customer dim automatically; orders⋈lineitem shuffles on the key."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "l_orderkey", "l_linenumber", "o_custkey", "c_nationkey",
+            "l_extendedprice", "o_orderpriority",
+        )
+    )
+
+
+@_q(
+    "cdc_left_join_revision",
+    """
+    SELECT revision, count(*) AS cnt FROM (
+      SELECT CASE WHEN o.o_orderkey IS NULL THEN 0 ELSE 1 END AS revision
+      FROM lineitem l
+      LEFT JOIN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') o
+        ON l.l_orderkey = o.o_orderkey
+    ) GROUP BY revision
+    """,
+)
+def cdc_left_join_revision(spark, sf_dir):
+    """J3: LEFT join with found/missing revision flag in one pass
+    (reference …_202309.py:223-271, revision expr :261)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey, "left")
+    return (
+        j.select(
+            F.when(F.col("o_orderkey").isNull(), 0).otherwise(1).alias("revision")
+        )
+        .groupBy("revision")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@_q(
+    "cdc_counts_by_type",
+    """
+    SELECT event_type, count(*) AS cnt,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def cdc_counts_by_type(spark, sf_dir):
+    """A1/A4/P11: per-type counters — the item-type router + count
+    guards (reference composite_item_exporter.py:70-79 per-type counts;
+    count conservation …_202309.py:273-301)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+@_q(
+    "cdc_item_id",
+    """
+    SELECT doc_id, 'document_' || md5(text) AS item_id, source
+    FROM documents
+    """,
+)
+def cdc_item_id(spark, sf_dir):
+    """P13: deterministic primary-key assignment
+    item_id = concat(type, '_', hash) (reference
+    streaming/btc_item_id_calculator.py:29-47)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("document_"), F.md5(F.col("text"))).alias("item_id"),
+        "source",
+    )
+
+
+@_q(
+    "cdc_high_watermark",
+    """
+    SELECT max(event_id) AS max_seq, count(*) AS n_events,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+    FROM events
+    """,
+)
+def cdc_high_watermark(spark, sf_dir):
+    """A2/O2: cursor high-watermark over the applied log (reference
+    pipelines/block_sync_pipeline.py:167-189 max(number) cursor)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.agg(
+        F.max("event_id").alias("max_seq"),
+        F.count("*").alias("n_events"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+    )
+
+
+# =========================================================================
+# Projection / derived-aggregate / explode parity (P/E classes)
+# =========================================================================
+
+@_q(
+    "tx_derived_aggregates",
+    """
+    SELECT o.o_orderkey,
+           count(l.l_orderkey) AS line_count,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS line_value,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+                - sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS fee
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+)
+def tx_derived_aggregates(spark, sf_dir):
+    """P4: per-parent derived aggregates input_count/input_value/fee
+    (reference domain/transaction.py:62-72: fee = input_value −
+    output_value; counts/sums over the nested arrays)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("line_count"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("_lv"),
+    )
+    return (
+        o.join(agg, o.o_orderkey == agg.l_orderkey)
+        .select(
+            "o_orderkey",
+            "line_count",
+            F.col("_lv").cast("double").alias("line_value"),
+            (F.col("o_totalprice").cast("decimal(18,2)") - F.col("_lv"))
+            .cast("double")
+            .alias("fee"),
+        )
+    )
+
+
+@_q(
+    "explode_tokens_stats",
+    """
+    SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_distinct_tok
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY doc_id
+    """,
+)
+def explode_tokens_stats(spark, sf_dir):
+    """E1-E5: ARRAY JOIN / explode-then-aggregate (reference
+    clickhouse_sync_data.py:150-182 ARRAY JOIN t.inputs; Python flatten
+    jobs/enrich_transactions.py:59-60)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    return tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        F.countDistinct("tok").alias("n_distinct_tok"),
+    )
+
+
+# =========================================================================
+# Classic OLAP breadth (the engine must remain a general query engine)
+# =========================================================================
+
+@_q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape — scan + filter + 2-key groupBy with decimal-exact
+    aggregates. Filter and the 5 referenced columns push to the parquet
+    scan (PushedFilters/ReadSchema)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "q3_shipping_priority",
+    """
+    SELECT o.o_orderkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape — selective dim filter feeding a 3-way join +
+    top-K (deterministic tiebreak on the key)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+            ).cast("double").alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# =========================================================================
+# Streaming-analog windows (batch equivalents of the T-class operators)
+# =========================================================================
+
+@_q(
+    "events_tumbling_window",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark, sf_dir):
+    """T-class: tumbling event-time window aggregation — the batch twin
+    of the streaming watermark+window agg (partition key toYYYYMM analog,
+    P14, reference pipelines/bitcoin.py:130)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "event_type", "cnt", "sum_value",
+        )
+    )
+
+
+@_q(
+    "events_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), s AS (
+      SELECT user_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    ), per AS (
+      SELECT user_id, session_id, count(*) AS n FROM s GROUP BY 1, 2
+    )
+    SELECT user_id, count(*) AS n_sessions, max(n) AS max_session_events
+    FROM per GROUP BY user_id
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Sessionization (gap 30 min) via lag + cumulative sum — the batch
+    twin of streaming session_window; no reference analog (training-data
+    pipeline addition)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ in the parquet; go through TIMESTAMP to get epochs
+    secs = F.col("ts").cast("timestamp").cast("long")
+    prev_secs = F.lag("ts").over(w).cast("timestamp").cast("long")
+    g = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts").over(w).isNull() | (secs - prev_secs > 30 * 60),
+            1,
+        ).otherwise(0),
+    )
+    s = g.withColumn(
+        "session_id",
+        F.sum("new_s").over(
+            W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    per = s.groupBy("user_id", "session_id").agg(F.count("*").alias("n"))
+    return per.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"), F.max("n").alias("max_session_events")
+    )
+
+
+@_q(
+    "events_topk_per_user",
+    """
+    SELECT user_id, event_id, value FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 2
+    """,
+)
+def events_topk_per_user(spark, sf_dir):
+    """Top-K per group — ranking window with deterministic tiebreak."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("user_id", "event_id", "value")
+    )
+
+
+# =========================================================================
+# Training-data pipeline ops: text analysis, dedup, similarity
+# =========================================================================
+
+_STOPWORDS = ("the", "a", "of", "to", "and")
+_STOP_SQL = "('the','a','of','to','and')"
+
+
+@_q(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           length(string_split(text, ' ')) AS n_tok,
+           length(list_filter(string_split(text, ' '),
+                              t -> t IN {_STOP_SQL})) AS n_stop,
+           length(text) AS n_chars_actual,
+           n_chars
+    FROM documents
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Text quality scoring: token count, stopword count, char counts —
+    emitted as raw counts (ratios are numerator/denominator pairs for
+    hash stability). Training-data addition; tokenization = whitespace."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).alias("n_stop"),
+        F.length("text").alias("n_chars_actual"),
+        "n_chars",
+    )
+
+
+@_q(
+    "langid_heuristic",
+    f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(CASE WHEN length(list_filter(string_split(text,' '),
+                                t -> t IN {_STOP_SQL})) * 10
+                        >= length(string_split(text,' ')) THEN 1 ELSE 0 END)
+             AS n_pred_en
+    FROM documents GROUP BY lang
+    """,
+)
+def langid_heuristic(spark, sf_dir):
+    """Language-ID heuristic: stopword-density classifier (≥10% English
+    stopwords → English), reported per labelled lang. Training-data
+    addition (n-gram heuristic class)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    pred_en = (n_stop * 10 >= F.size(toks)).cast("int")
+    return docs.select("lang", pred_en.alias("p")).groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("p").alias("n_pred_en")
+    )
+
+
+@_q(
+    "dedup_exact",
+    """
+    SELECT f AS fingerprint, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+    FROM (
+      SELECT doc_id,
+             md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS f
+      FROM documents
+    ) GROUP BY f HAVING count(*) > 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact/prefix dedup: hash-groupBy on an 8-token prefix fingerprint,
+    keep-min policy (document fingerprinting + exact dedup, training-data
+    additions; the BCH duplicate-txid dedup class, SURVEY.md §1.2)."""
+    docs = load(spark, sf_dir, "documents")
+    prefix = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8))
+    return (
+        docs.select("doc_id", F.md5(prefix).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@_q(
+    "dedup_minhash_lsh",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+      FROM w
+    ),
+    sig AS (
+      SELECT doc_id,
+        min(('0x' || substr(md5('0:' || shingle), 1, 8))::UBIGINT::BIGINT) AS h0,
+        min(('0x' || substr(md5('1:' || shingle), 1, 8))::UBIGINT::BIGINT) AS h1,
+        min(('0x' || substr(md5('2:' || shingle), 1, 8))::UBIGINT::BIGINT) AS h2,
+        min(('0x' || substr(md5('3:' || shingle), 1, 8))::UBIGINT::BIGINT) AS h3
+      FROM sh GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b
+      ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.h3 = b.h3
+     AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash near-dup detection: 3-token shingles → 4 md5-derived
+    minhashes → band-join on the full signature (one band of 4 rows).
+    The candidate-pair join is an equi-join on the signature, so Catalyst
+    shuffles only signatures, never the pairwise cross product —
+    the property that keeps this runnable at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - 2, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(ws, i),
+            F.element_at(ws, i + 1),
+            F.element_at(ws, i + 2),
+        ),
+    )
+    sh = docs.select("doc_id", F.explode(shingles).alias("shingle"))
+    aggs = [
+        F.min(
+            _hex32_to_long(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))))
+        ).alias(f"h{s}")
+        for s in range(4)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    cond = (
+        (F.col("a.h0") == F.col("b.h0"))
+        & (F.col("a.h1") == F.col("b.h1"))
+        & (F.col("a.h2") == F.col("b.h2"))
+        & (F.col("a.h3") == F.col("b.h3"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    return a.join(b, cond).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+
+
+@_q(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, rank FROM (
+      SELECT e.vec_id,
+             row_number() OVER (
+               ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
+             ) AS rank
+      FROM embeddings e, q WHERE e.vec_id <> 0
+    ) WHERE rank <= 10
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k similarity search over array<float>
+    embeddings, all JVM-side via higher-order functions (zip_with dot
+    product + aggregate norms); emitted as ranks for hash stability.
+    Training-data addition (ANN baseline); the LSH-bucketed scale path
+    builds on the same expressions."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    e = emb.filter(F.col("vec_id") != 0)
+    j = e.crossJoin(F.broadcast(q))
+    dbl = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    dot = F.aggregate(
+        F.zip_with(dbl("embedding"), dbl("qe"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(dbl(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = dot / (norm("embedding") * norm("qe"))
+    w = W.orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        j.select("vec_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("vec_id", "rank")
+    )
+
+
+@_q(
+    "multimodal_meta",
+    """
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes, source
+    FROM documents
+    """,
+)
+def multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing: treat content as an opaque binary column with
+    typed metadata — here text→UTF-8 bytes stands in for image/audio
+    payloads; real decode lives in ops.multimodal (stubbed decode, real
+    Spark plumbing)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes"),
+        "source",
+    )

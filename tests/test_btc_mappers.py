@@ -1,0 +1,116 @@
+"""Bitcoin-domain mapper parity tests over a deterministic synthetic
+chain (the MockBitcoinRpc + golden-fixture analog, SURVEY.md §5):
+projection/rename, coinbase rewrite, nonstandard addresses, explode,
+spend-enrichment join, fee conservation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bitcoin_etl_spark.sources import (
+    enrich_inputs,
+    explode_inputs,
+    explode_outputs,
+    generate_raw_chain,
+    map_blocks,
+    map_transactions,
+)
+from bitcoin_etl_spark.sources.mappers import transaction_fees
+
+
+@pytest.fixture(scope="module")
+def chain(spark):
+    raw = generate_raw_chain(spark, n_blocks=20, txs_per_block=5, seed=7)
+    raw.cache()
+    yield raw
+    raw.unpersist()
+
+
+def test_map_blocks(chain):
+    blocks = map_blocks(chain)
+    rows = blocks.orderBy("number").collect()
+    assert len(rows) == 20
+    b0 = rows[0]
+    assert b0["number"] == 0
+    assert b0["previous_block_hash"] == "0" * 64
+    assert b0["transaction_count"] == len(b0["transactions"])
+    assert b0["item_id"] == f"block_{b0['hash']}"
+    assert b0["coinbase_param"] is not None
+    # chain linkage (the height-sequence invariant behind gap detection)
+    by_num = {r["number"]: r for r in rows}
+    for n in range(1, 20):
+        assert by_num[n]["previous_block_hash"] == by_num[n - 1]["hash"]
+
+
+def test_map_transactions_coinbase_and_counts(chain):
+    tx = map_transactions(chain)
+    assert tx.filter(F.col("is_coinbase")).count() == 20  # one per block
+    # P5: coinbase input detached → coinbase txs have zero inputs
+    assert (
+        tx.filter(F.col("is_coinbase") & (F.col("input_count") > 0)).count() == 0
+    )
+    # ≤1 coinbase per block (service/btc_service.py:149-153 assert)
+    per_block = (
+        tx.filter(F.col("is_coinbase"))
+        .groupBy("block_hash")
+        .count()
+        .filter("count > 1")
+    )
+    assert per_block.count() == 0
+    # derived counts match array sizes
+    bad = tx.filter(
+        (F.size("inputs") != F.col("input_count"))
+        | (F.size("outputs") != F.col("output_count"))
+    )
+    assert bad.count() == 0
+
+
+def test_nonstandard_address_synthesis(chain):
+    outs = explode_outputs(map_transactions(chain))
+    nonstd = outs.filter(F.col("type") == "nonstandard")
+    assert nonstd.count() > 0
+    r = nonstd.first()
+    assert r["addresses"][0].startswith("nonstandard")
+    assert len(r["addresses"][0]) == len("nonstandard") + 40
+    assert r["required_signatures"] is None
+    assert outs.filter(F.col("revision") != 0).count() == 0
+
+
+def test_enrich_inputs_resolves_all_spends(chain):
+    tx = map_transactions(chain)
+    ins = explode_inputs(tx)
+    outs = explode_outputs(tx)
+    enr = enrich_inputs(ins, outs)
+    # generator only spends real earlier outputs → every input resolves
+    assert enr.filter(F.col("revision") == 0).count() == 0
+    assert enr.filter(F.col("value").isNull()).count() == 0
+    # satoshi conversion is exact decimal math (P8): coinbase = 50 BTC
+    cb_out = outs.join(
+        tx.filter(F.col("is_coinbase")).select(F.col("hash").alias("transaction_hash")),
+        "transaction_hash",
+    )
+    assert set(r["value"] for r in cb_out.collect()) == {5_000_000_000}
+
+
+def test_fee_conservation(chain):
+    """fee = input_value − output_value for non-coinbase; 0 for coinbase —
+    and every non-coinbase tx in the synthetic chain pays exactly 10000
+    sat (generator invariant)."""
+    tx = map_transactions(chain)
+    enr = enrich_inputs(explode_inputs(tx), explode_outputs(tx))
+    with_fees = transaction_fees(tx, enr)
+    cb = with_fees.filter(F.col("is_coinbase"))
+    assert cb.filter(F.col("fee") != 0).count() == 0
+    rest = with_fees.filter(~F.col("is_coinbase"))
+    fees = set(r["fee"] for r in rest.collect())
+    assert fees == {10_000}
+
+
+def test_item_ids_unique(chain):
+    tx = map_transactions(chain)
+    ins = explode_inputs(tx)
+    outs = explode_outputs(tx)
+    for df in (map_blocks(chain), tx, ins, outs):
+        n = df.count()
+        assert df.select("item_id").distinct().count() == n
