@@ -42,7 +42,15 @@ HEADLINE_QUERIES = [
     "ann_cosine_topk",
 ]
 
-CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+CACHE_ROOT = os.environ.get(
+    "BENCH_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache"),
+)
+# Where the table under test lives. The sandbox has ONE virtual disk
+# (~280 MB/s) shared by all cores, so disk-backed runs measure the disk,
+# not the plan; BENCH/scaling.py points this at tmpfs to measure
+# compute scaling (a real cluster scales disks with executors).
+WORK_DIR = os.environ.get("BENCH_WORK_DIR") or None
 
 
 def sf_of(sf_dir: str) -> float:
@@ -54,7 +62,7 @@ def ensure_changelog(n_events: int, n_epochs: int, n_keys: int) -> str:
     """Deterministic change log for the CDC bench, cached across runs."""
     from bitcoin_etl_spark.changelog import ChangeLogSpec, generate_scenario
 
-    tag = f"ev{n_events}_ep{n_epochs}_k{n_keys}"
+    tag = f"v3_ev{n_events}_ep{n_epochs}_k{n_keys}"
     out = os.path.join(CACHE_ROOT, tag)
     if os.path.exists(os.path.join(out, "manifest.json")):
         return out
@@ -72,28 +80,37 @@ def ensure_changelog(n_events: int, n_epochs: int, n_keys: int) -> str:
 
 
 def run_cdc_replay(spark, scen_dir: str, n_buckets: int) -> dict:
-    from pyspark.sql import types as T
+    import glob
+
+    from pyspark.sql import functions as F, types as T
 
     from bitcoin_etl_spark.lake import LakeTable
     from bitcoin_etl_spark.operators import EpochApplier
     from bitcoin_etl_spark.schemas import CHANGES_SCHEMA, DOCS_SCHEMA
 
-    read_schema = T.StructType(
-        list(CHANGES_SCHEMA.fields) + [T.StructField("epoch", T.LongType(), True)]
-    )
     payload = T.StructType([f for f in DOCS_SCHEMA.fields if f.name != "_rev"])
-    tdir = tempfile.mkdtemp(prefix="cdc_bench_table_")
+    tdir = tempfile.mkdtemp(prefix="cdc_bench_table_", dir=WORK_DIR)
     shutil.rmtree(tdir)
     table = LakeTable.create(tdir, payload, n_buckets=n_buckets)
-    applier = EpochApplier(table, pipeline_id="bench")
-    changes = (
-        spark.read.schema(read_schema)
-        .option("basePath", f"{scen_dir}/changes")
-        .parquet(f"{scen_dir}/changes")
+    # RMT-style scale path: narrow append per epoch, dedup deferred to
+    # compaction (see EpochApplier.pre_reduce docstring); quarantine lazy
+    # so validation rides the write as an observed metric.
+    applier = EpochApplier(
+        table, pipeline_id="bench", pre_reduce=False, quarantine_mode="lazy"
     )
-    n_events = changes.count()
+    epoch_dirs = sorted(
+        glob.glob(f"{scen_dir}/changes/epoch=*"),
+        key=lambda p: int(p.rsplit("=", 1)[1]),
+    )
+    n_events = 0
     t0 = time.time()
-    applier.apply_changes_df(spark, changes)
+    for d in epoch_dirs:
+        e = int(d.rsplit("=", 1)[1])
+        df = spark.read.schema(CHANGES_SCHEMA).parquet(d).withColumn(
+            "epoch", F.lit(e).cast("long")
+        )
+        res = applier.apply_epoch(spark, df, e)
+        n_events += res.get("upserts", 0) + res.get("deletes", 0)
     apply_s = time.time() - t0
     t1 = time.time()
     table.compact(spark)
@@ -119,16 +136,24 @@ def main() -> None:
     cdc_only = os.environ.get("BENCH_CDC_ONLY") == "1"
 
     n_events = int(os.environ.get("BENCH_CDC_EVENTS", str(int(20_000_000 * sf))))
-    n_epochs = 8
+    n_epochs = int(os.environ.get("BENCH_CDC_EPOCHS", "4"))
     n_keys = max(1000, n_events // 4)
     scen_dir = ensure_changelog(n_events, n_epochs, n_keys)
 
     spark = get_spark(
-        app_name="bitcoin_etl_spark_bench", cores=cores, shuffle_partitions=cores
+        app_name="bitcoin_etl_spark_bench", cores=cores, shuffle_partitions=cores,
+        extra_conf={
+            # smaller splits: enough scan tasks to feed every core even
+            # when an epoch is a handful of files
+            "spark.sql.files.maxPartitionBytes": os.environ.get(
+                "BENCH_MAX_PARTITION_BYTES", "16m"
+            ),
+        },
     )
 
     t_start = time.time()
-    cdc = run_cdc_replay(spark, scen_dir, n_buckets=max(16, cores * 2))
+    # bucket count FIXED across parallelism levels (comparable layouts)
+    cdc = run_cdc_replay(spark, scen_dir, n_buckets=64)
 
     queries: dict[str, float] = {}
     if not cdc_only:

@@ -271,12 +271,20 @@ def generate_scenario(out_dir: str, spec: ChangeLogSpec, *, oracle: bool = True)
         d = os.path.join(out_dir, sub, f"epoch={epoch}")
         os.makedirs(d, exist_ok=True)
         out = df.drop(columns=["epoch"])
-        # µs timestamps: Spark's parquet reader rejects pandas' default ns
+        # µs timestamps: Spark's parquet reader rejects pandas' default ns.
+        # Chunked files + small row groups keep the source SPLITTABLE so
+        # scan parallelism scales with cores (a single giant row group
+        # pins an epoch to one task — the anti-pattern a real sharded
+        # change log never has).
         kw = {"index": False, "coerce_timestamps": "us",
-              "allow_truncated_timestamps": True}
-        out.to_parquet(os.path.join(d, "part-00000.parquet"), **kw)
+              "allow_truncated_timestamps": True, "row_group_size": 65_536}
+        chunk = 250_000
+        for ci in range(0, max(len(out), 1), chunk):
+            out.iloc[ci: ci + chunk].to_parquet(
+                os.path.join(d, f"part-{ci // chunk:05d}.parquet"), **kw
+            )
         if epoch in spec.replay_epochs:  # duplicated file = replayed delivery
-            out.to_parquet(os.path.join(d, "part-00000-replay.parquet"), **kw)
+            out.to_parquet(os.path.join(d, "part-replay.parquet"), **kw)
         frames.append(df)
         counts[str(epoch)] = len(df)
 

@@ -73,6 +73,7 @@ class LakeTable:
         self.n_buckets = n_buckets
         self._manifest_dir = os.path.join(path, "manifest")
         self._data_dir = os.path.join(path, "data")
+        self._manifest_cache: dict[int, dict] = {}
 
     # ------------------------------------------------------------------ setup
     @classmethod
@@ -140,8 +141,10 @@ class LakeTable:
         v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed snapshot at {self.path}")
-        with open(os.path.join(self._manifest_dir, f"v{v}.json")) as f:
-            return json.load(f)
+        if v not in self._manifest_cache:
+            with open(os.path.join(self._manifest_dir, f"v{v}.json")) as f:
+                self._manifest_cache[v] = json.load(f)
+        return self._manifest_cache[v]
 
     def _publish(self, manifest: dict) -> None:
         """Atomically publish manifest v{N}: hard-link from a temp file —
@@ -315,13 +318,18 @@ class LakeTable:
 
     @staticmethod
     def _count_rows(entries: list[dict], table_path: str) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
         import pyarrow.parquet as pq
 
-        for e in entries:
+        def _one(e):
             if e["rows"] is None:
                 e["rows"] = pq.ParquetFile(
                     os.path.join(table_path, e["path"])
                 ).metadata.num_rows
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            list(ex.map(_one, entries))
 
     def _next_manifest(self, operation: str) -> dict:
         m = self.manifest()

@@ -47,6 +47,7 @@ class EpochApplier:
         compact_every: int = 0,
         use_pandas_udf_validation: bool = False,
         quarantine_mode: str = "eager",  # "eager" | "lazy"
+        pre_reduce: bool = True,
     ):
         self.table = table
         self.pipeline_id = pipeline_id
@@ -56,6 +57,15 @@ class EpochApplier:
         self.compact_every = compact_every
         self.use_pandas_udf_validation = use_pandas_udf_validation
         self.quarantine_mode = quarantine_mode
+        # pre_reduce=True collapses each epoch to one row per key before
+        # the delta write (one hash shuffle per epoch — right when epochs
+        # churn the same keys). pre_reduce=False appends raw versioned
+        # rows NARROW (scan→write, zero shuffle) and defers dedup to
+        # read_final/compact — exactly the ReplacingMergeTree part-insert
+        # + background-merge split (reference pipelines/bitcoin.py:128-131
+        # + OPTIMIZE FINAL C2). The second mode is the 10^10-scale path:
+        # per-event cost is O(1) with no per-epoch shuffle barrier.
+        self.pre_reduce = pre_reduce
         self._applied_since_compact = 0
 
     def _valid_flag(self):
@@ -100,7 +110,11 @@ class EpochApplier:
             )
             valid = flagged.filter(F.col("_valid")).drop("_valid")
 
-        reduced = last_event_wins(valid, key=self.table.key, seq="seq")
+        reduced = (
+            last_event_wins(valid, key=self.table.key, seq="seq")
+            if self.pre_reduce
+            else valid
+        )
         obs_out = Observation(f"out-{epoch_id}-{uuid.uuid4().hex[:6]}")
         rows = self._to_table_rows(reduced).observe(
             obs_out,
@@ -108,21 +122,27 @@ class EpochApplier:
             F.sum(F.col(DELETED_COL).cast("long")).alias("d"),
             F.max(REV_COL).alias("mx"),
         )
+        captured: dict = {}
+
         def _stats() -> dict:
             m = obs_out.get
             bad = n_bad
             if obs_in is not None:
                 bad = int(obs_in.get.get("n_bad") or 0)
-            return {
-                "upserts": int(m.get("n") or 0) - int(m.get("d") or 0),
-                "deletes": int(m.get("d") or 0),
-                "quarantined": int(bad),
-                "max_seq": int(m["mx"]) if m.get("mx") is not None else -1,
-            }
+            captured.update(
+                {
+                    "upserts": int(m.get("n") or 0) - int(m.get("d") or 0),
+                    "deletes": int(m.get("d") or 0),
+                    "quarantined": int(bad),
+                    "max_seq": int(m["mx"]) if m.get("mx") is not None else -1,
+                }
+            )
+            return captured
 
         res = self.table.append_delta(
             rows, pipeline_id=self.pipeline_id, epoch_id=epoch_id, stats_cb=_stats
         )
+        res = {**res, **captured}
         if not res.get("skipped"):
             self._applied_since_compact += 1
             if self.compact_every and self._applied_since_compact >= self.compact_every:

@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline; the scale path is
+random-hyperplane LSH bucketing so the candidate join is an equi-join on
+bucket signature (shuffle O(n), not O(n²)). Hyperplanes are derived
+deterministically from md5 so results are reproducible and
+oracle-checkable."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _dbl(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(df: DataFrame, query: list[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Brute-force top-k vs one query vector: broadcast the query as a
+    literal array, rank. One scan, one tiny top-k shuffle."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = df.select(
+        F.col(id_col), cosine(_dbl(F.col(vec_col)), q).alias("cos")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 0) -> list[list[float]]:
+    """Deterministic pseudo-random ±1 hyperplanes from md5 bits."""
+    planes = []
+    for p in range(n_planes):
+        bits = []
+        need = dim
+        ctr = 0
+        while len(bits) < need:
+            h = hashlib.md5(f"{seed}:{p}:{ctr}".encode()).digest()
+            for byte in h:
+                for i in range(8):
+                    bits.append(1.0 if (byte >> i) & 1 else -1.0)
+            ctr += 1
+        planes.append(bits[:dim])
+    return planes
+
+
+def lsh_bucket(vec_col: Column, dim: int, n_planes: int = 8,
+               seed: int = 0) -> Column:
+    """Random-hyperplane signature: bit p = sign(v · h_p). Returns a
+    long bucket id in [0, 2^n_planes)."""
+    v = _dbl(vec_col)
+    sig = F.lit(0).cast("long")
+    for p, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        h = F.array(*[F.lit(x) for x in plane])
+        bit = (dot(v, h) >= 0).cast("long")
+        sig = sig + F.shiftleft(bit, p)
+    return sig
+
+
+def embedding_near_dup_pairs(df: DataFrame, dim: int,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             n_planes: int = 8,
+                             min_cosine: float = 0.95,
+                             n_tables: int = 2) -> DataFrame:
+    """Embedding-cosine near-dup: candidates from ``n_tables``
+    independent LSH bucketings (union), verified by exact cosine.
+    Shuffle = O(n × tables) bucket rows + candidate verification."""
+    tabs = []
+    for t in range(n_tables):
+        tabs.append(
+            df.select(
+                F.col(id_col), F.col(vec_col),
+                F.lit(t).alias("tab"),
+                lsh_bucket(F.col(vec_col), dim, n_planes, seed=t).alias("bucket"),
+            )
+        )
+    b = tabs[0]
+    for t in tabs[1:]:
+        b = b.unionByName(t)
+    a_, b_ = b.alias("a"), b.alias("b")
+    cand = (
+        a_.join(
+            b_,
+            (F.col("a.tab") == F.col("b.tab"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("va"),
+            F.col(f"b.{vec_col}").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cos", cosine(_dbl(F.col("va")), _dbl(F.col("vb"))))
+        .filter(F.col("cos") >= min_cosine)
+        .select("id_a", "id_b", "cos")
+    )

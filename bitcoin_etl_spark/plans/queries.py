@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+# Queries with no SQL-expressible oracle (driver records rows-only check):
+ROWS_ONLY: set[str] = {"multimodal_features"}
 
 
 def _q(name: str, sql: str | None = None):
@@ -744,6 +746,177 @@ def ann_cosine_topk(spark, sf_dir):
         .filter(F.col("rank") <= 10)
         .select("vec_id", "rank")
     )
+
+
+@_q(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           count(*) AS cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_extract(spark, sf_dir):
+    """P12 converter parity: semi-structured payload extraction — the
+    item-converter chain (reference
+    ``blockchainetl/jobs/converters/*``) as JVM-side JSON path access."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@_q(
+    "set_union_items",
+    """
+    SELECT item_type, count(*) AS cnt, count(DISTINCT item_id) AS n_distinct
+    FROM (
+      SELECT 'order' AS item_type,
+             'order_' || CAST(o_orderkey AS VARCHAR) AS item_id FROM orders
+      UNION ALL
+      SELECT 'lineitem' AS item_type,
+             'lineitem_' || CAST(l_orderkey AS VARCHAR) || '_'
+               || CAST(l_linenumber AS VARCHAR) AS item_id FROM lineitem
+    ) GROUP BY item_type
+    """,
+)
+def set_union_items(spark, sf_dir):
+    """U1 + P13: concatenated typed item streams with item_id PKs — the
+    all_items union (reference ``btc_streamer_adapter.py:99``:
+    blocks + transactions + ios into one stream)."""
+    o = load(spark, sf_dir, "orders").select(
+        F.lit("order").alias("item_type"),
+        F.concat(F.lit("order_"), F.col("o_orderkey").cast("string"))
+        .alias("item_id"),
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        F.lit("lineitem").alias("item_type"),
+        F.concat_ws(
+            "_", F.lit("lineitem"), F.col("l_orderkey"), F.col("l_linenumber")
+        ).alias("item_id"),
+    )
+    return o.unionByName(li).groupBy("item_type").agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct("item_id").alias("n_distinct"),
+    )
+
+
+@_q(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark, sf_dir):
+    """Pivot (wide aggregation) — order-status breakdown per priority."""
+    o = load(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("n_f"),
+        F.coalesce("O", F.lit(0)).alias("n_o"),
+        F.coalesce("P", F.lit(0)).alias("n_p"),
+    )
+
+
+@_q(
+    "rollup_docs_by_source_lang",
+    """
+    SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+           count(*) AS cnt, sum(n_chars) AS sum_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((source, lang), (source), ())
+    """,
+)
+def rollup_docs_by_source_lang(spark, sf_dir):
+    """Rollup / grouping-sets aggregation over the corpus dimensions."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.rollup("source", "lang")
+        .agg(F.count("*").alias("cnt"), F.sum("n_chars").alias("sum_chars"))
+        .select(
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            "cnt",
+            "sum_chars",
+        )
+    )
+
+
+@_q(
+    "simhash_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), th AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('0:' || tok), 1, 8))::UBIGINT::BIGINT AS h
+      FROM toks
+    ), votes AS (
+      SELECT doc_id, b.bit,
+             CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END AS v
+      FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit) b
+    ), bits AS (
+      SELECT doc_id, bit, sum(v) AS sv FROM votes GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+           sum(CASE WHEN sv > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def simhash_docs(spark, sf_dir):
+    """SimHash fingerprints (32-bit) — bitwise-majority of token hashes,
+    fully relational (explode × bit-explode → partial-agg), no UDFs.
+    Training-data dedup addition; ops.dedup.simhash is the library op."""
+    from ..ops.dedup import simhash
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash(docs, bits=32)
+
+
+@_q(
+    "ann_bucket_stats",
+    """
+    SELECT CAST(floor(embedding[1] * 4) AS BIGINT) AS bucket_a,
+           CAST(floor(embedding[33] * 4) AS BIGINT) AS bucket_b,
+           count(*) AS cnt, count(DISTINCT label) AS n_labels
+    FROM embeddings GROUP BY 1, 2
+    """,
+)
+def ann_bucket_stats(spark, sf_dir):
+    """Bucketed-ANN partitioning stats: quantized coarse buckets over two
+    embedding coordinates — the IVF-style scale path where candidate
+    search is an equi-join on bucket (shuffle O(n), never O(n²))."""
+    e = load(spark, sf_dir, "embeddings")
+    b = lambda i: F.floor(  # noqa: E731
+        F.element_at("embedding", i).cast("double") * 4
+    ).cast("long")
+    return (
+        e.select(b(1).alias("bucket_a"), b(33).alias("bucket_b"), "label")
+        .groupBy("bucket_a", "bucket_b")
+        .agg(F.count("*").alias("cnt"), F.countDistinct("label").alias("n_labels"))
+    )
+
+
+@_q("multimodal_features")  # no SQL oracle: mapInPandas op (rows-only check)
+def multimodal_features(spark, sf_dir):
+    """Multimodal decode/feature plumbing: binary content → mapInPandas
+    (Arrow-batched) stub decoder → typed feature rows. Deterministic fake
+    decode (no codecs in this container); see ops.multimodal."""
+    from ..ops.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(spark, n=200)
+    return extract_features(media).drop("features")
 
 
 @_q(

@@ -46,6 +46,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # File-source streaming + many small commits: keep listing cheap.
         .config("spark.sql.streaming.schemaInference", "false")
+        # Task-side output commit (v2): avoids the serial driver-side
+        # rename storm on partitionBy writes with many bucket dirs —
+        # dominant fixed cost per commit otherwise.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .config("spark.sql.sources.commitProtocolClass",
+                "org.apache.spark.sql.execution.datasources.SQLHadoopMapReduceCommitProtocol")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -50,10 +50,11 @@ def _payload_schema():
 
 
 def _replay(spark, scen_dir, table_dir, *, compact_every=0, pandas_udf=False,
-            n_epochs=None):
+            pre_reduce=True, quarantine_mode="eager"):
     table = LakeTable.create(table_dir, _payload_schema(), key="doc_id", n_buckets=8)
     applier = EpochApplier(
-        table, compact_every=compact_every, use_pandas_udf_validation=pandas_udf
+        table, compact_every=compact_every, use_pandas_udf_validation=pandas_udf,
+        pre_reduce=pre_reduce, quarantine_mode=quarantine_mode,
     )
     changes = _read_changes(spark, scen_dir)
     applier.apply_changes_df(spark, changes)
@@ -114,6 +115,30 @@ def _valid_changes(changes):
     from bitcoin_etl_spark.operators.validate import tokens_valid_expr
 
     return changes.withColumn("_v", tokens_valid_expr()).filter(F.col("_v")).drop("_v")
+
+
+def test_narrow_append_mode_matches_oracle(spark, tmp_path):
+    """pre_reduce=False (ReplacingMergeTree part-insert path: narrow
+    append, dedup deferred to read/compact) + lazy quarantine must yield
+    the same final state — incl. bad rows and reorgs."""
+    spec = ChangeLogSpec(
+        n_epochs=5, events_per_epoch=400, n_keys=300, dup_in_batch_frac=0.2,
+        bad_row_frac=0.05, reorgs=[(3, 6)],
+    )
+    scen_dir = str(tmp_path / "scen")
+    generate_scenario(scen_dir, spec)
+    table, applier, changes = _replay(
+        spark, scen_dir, str(tmp_path / "t"),
+        pre_reduce=False, quarantine_mode="lazy",
+    )
+    _assert_matches_oracle(spark, table, scen_dir)
+    table.compact(spark)
+    _assert_matches_oracle(spark, table, scen_dir)
+    # lazy quarantine: invalid rows derivable from the log, counted in ledger
+    nq = applier.scan_quarantine(changes).count()
+    assert nq > 0
+    lin = table.lineage(spark).toPandas()
+    assert lin["quarantined"].sum() == nq
 
 
 def test_replayed_epoch_is_idempotent(spark, tmp_path):

@@ -1,0 +1,92 @@
+"""Export jobs, block-range resolution, and the CLI surface."""
+
+from __future__ import annotations
+
+import glob
+import json
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+from bitcoin_etl_spark.jobs import (
+    block_range_for_timestamps,
+    export_items,
+    export_partitioned,
+)
+from bitcoin_etl_spark.sources import generate_raw_chain, map_blocks, map_transactions
+
+
+def test_export_partitioned_hive_layout(spark, tmp_path):
+    """S13: range-partitioned export with start_block=/end_block= dirs
+    (export_all dir layout, jobs/export_all.py:60-85)."""
+    raw = generate_raw_chain(spark, n_blocks=25, txs_per_block=3)
+    tx = map_transactions(raw)
+    out = str(tmp_path / "export")
+    export_partitioned(tx.drop("inputs", "outputs"), out,
+                       range_col="block_number", batch_size=10)
+    dirs = sorted(glob.glob(f"{out}/start_block=*/end_block=*"))
+    assert [d.split("start_block=")[1].split("/")[0] for d in dirs] == [
+        "0", "10", "20"
+    ]
+    back = spark.read.json(f"{out}")
+    assert back.count() == tx.count()
+    # partition pruning on read: only one range dir scanned
+    pruned = spark.read.json(out).filter(F.col("start_block") == 10)
+    assert pruned.count() == tx.filter(
+        F.col("block_number").between(10, 19)
+    ).count()
+
+
+def test_export_items_routing_and_csv(spark, tmp_path):
+    """S5-S7: per-type routing, JSONL + CSV with array flattening."""
+    raw = generate_raw_chain(spark, n_blocks=5, txs_per_block=3)
+    blocks = map_blocks(raw)
+    out = str(tmp_path / "items")
+    counts = export_items({"blocks": blocks}, out, fmt="csv")
+    assert counts["blocks"] == 5
+    csv = spark.read.csv(f"{out}/blocks", header=True)
+    # array column flattened to comma-joined string (exporters.py:155-157)
+    row = csv.first()
+    assert "," in row["transactions"] or len(row["transactions"]) == 64
+
+
+def test_block_range_for_timestamps(spark):
+    raw = generate_raw_chain(spark, n_blocks=30, txs_per_block=2)
+    blocks = map_blocks(raw)
+    # generator: time = 1_600_000_000 + 600*b
+    lo, hi = block_range_for_timestamps(
+        blocks, 1_600_000_000 + 600 * 10, 1_600_000_000 + 600 * 20
+    )
+    assert (lo, hi) == (10, 20)
+    lo, hi = block_range_for_timestamps(blocks, 1, 2)
+    assert (lo, hi) == (None, None)
+
+
+def test_cli_end_to_end(tmp_path):
+    """Drive the CLI as a user would: generate → replay → repair →
+    compact → snapshots (subprocess; covers python -m entry)."""
+    scen = str(tmp_path / "scen")
+    table = str(tmp_path / "table")
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "bitcoin_etl_spark", "--cores", "4", *argv],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        lines = [l for l in r.stdout.splitlines() if l.startswith("{") or l.startswith("[")]
+        return json.loads(lines[-1]) if lines else None
+
+    g = run("generate", "--out", scen, "--events", "3000", "--epochs", "3",
+            "--keys", "500")
+    assert g["total_events"] >= 3000
+    rep = run("replay", "--table", table, "--changes", f"{scen}/changes",
+              "--create")
+    assert rep["applied"] == 3
+    rp = run("repair", "--table", table)
+    assert rp == {"missing_epochs": [], "duplicate_keys": 0}
+    comp = run("compact", "--table", table)
+    assert comp["compacted"] is True
+    snaps = run("snapshots", "--table", table)
+    assert len(snaps) >= 4

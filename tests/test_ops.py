@@ -1,0 +1,132 @@
+"""Training-data ops: dedup families, similarity search, text analysis,
+multimodal plumbing — invariant-based tests over the driver testdata and
+deterministic synthetic inputs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bitcoin_etl_spark.ops import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_stats,
+    simhash,
+)
+from bitcoin_etl_spark.ops.dedup import hamming_near_pairs
+from bitcoin_etl_spark.ops.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    synthesize_media,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    d.cache()
+    yield d
+    d.unpersist()
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    """Documents plus exact copies of 10 of them under new ids —
+    ground-truth duplicates for the dedup family."""
+    dups = (
+        docs.limit(10)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    d = docs.unionByName(dups)
+    d.cache()
+    yield d
+    d.unpersist()
+
+
+def test_exact_dedup_finds_planted_dups(docs_with_dups):
+    groups = exact_dedup(docs_with_dups).filter(F.col("n_dups") > 1)
+    # ≥ the 10 planted pairs (testdata may contain natural dups)
+    assert groups.count() >= 10
+    # keep-min: every keep_id is a real doc_id of its group
+    assert groups.filter(F.col("keep_id") >= 1_000_000).count() == 0
+
+
+def test_minhash_lsh_recovers_exact_dups(docs_with_dups):
+    sig = minhash_signatures(docs_with_dups, n_hashes=16)
+    pairs = lsh_candidate_pairs(sig, n_hashes=16, bands=4)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for i in range(10):
+        orig = docs_with_dups.orderBy("doc_id").limit(10).collect()[i]["doc_id"]
+        assert (orig, orig + 1_000_000) in found
+    # verification: planted pairs have jaccard 1.0
+    verified = ngram_jaccard_pairs(
+        docs_with_dups, pairs.limit(200), min_jaccard=0.99
+    )
+    assert verified.count() >= 10
+
+
+def test_simhash_identical_docs_equal_and_near(docs_with_dups):
+    sh = simhash(docs_with_dups)
+    a = {r["doc_id"]: r["simhash"] for r in sh.collect()}
+    for i in list(a):
+        if i >= 1_000_000:
+            assert a[i] == a[i - 1_000_000]
+    near = hamming_near_pairs(sh, max_hamming=0)
+    found = {(r["id_a"], r["id_b"]) for r in near.collect()}
+    planted = {(i, i + 1_000_000) for i in a if i >= 1_000_000 for i in [i - 1_000_000]}
+    assert planted <= found
+
+
+def test_cosine_topk_self_similarity(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
+    top = cosine_topk(emb, [float(x) for x in q], k=5)
+    rows = top.orderBy("rank").collect()
+    # the query vector itself must rank first with cos ≈ 1
+    assert rows[0]["vec_id"] == 7
+    assert abs(rows[0]["cos"] - 1.0) < 1e-9
+
+
+def test_embedding_near_dup_pairs_planted(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    clones = emb.limit(5).withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    both = emb.unionByName(clones)
+    pairs = embedding_near_dup_pairs(both, dim=64, min_cosine=0.9999)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    orig_ids = [r["vec_id"] for r in emb.limit(5).collect()]
+    for i in orig_ids:
+        assert (i, i + 1_000_000) in found
+
+
+def test_quality_stats_invariants(docs):
+    q = quality_stats(docs)
+    bad = q.filter(
+        (F.col("n_stop") > F.col("n_tok"))
+        | (F.col("sum_tok_len") > F.col("n_chars"))
+        | (F.col("n_chars") != F.col("n_chars_actual"))
+        if "n_chars_actual" in q.columns
+        else (F.col("n_stop") > F.col("n_tok"))
+    )
+    assert q.filter(F.col("n_stop") > F.col("n_tok")).count() == 0
+    assert q.filter(F.col("sum_tok_len") > F.col("n_chars")).count() == 0
+
+
+def test_multimodal_feature_extraction(spark):
+    media = synthesize_media(spark, n=60)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 60
+    for r in rows:
+        assert len(r["features"]) == FEATURE_DIM
+        assert r["n_bytes"] > 0
+        assert len(r["content_sha"]) == 64
+    # determinism: same content → same features
+    again = {r["media_id"]: r["features"] for r in extract_features(media).collect()}
+    for r in rows:
+        assert again[r["media_id"]] == r["features"]

