@@ -48,9 +48,22 @@ CACHE_ROOT = os.environ.get(
 )
 # Where the table under test lives. The sandbox has ONE virtual disk
 # (~280 MB/s) shared by all cores, so disk-backed runs measure the disk,
-# not the plan; BENCH/scaling.py points this at tmpfs to measure
-# compute scaling (a real cluster scales disks with executors).
-WORK_DIR = os.environ.get("BENCH_WORK_DIR") or None
+# not the plan (BENCH/ENVIRONMENT.md); default the table and shuffle
+# dirs to tmpfs when available (a real cluster scales disks with
+# executors). The change-log cache stays on disk (persistent).
+def _default_work() -> str | None:
+    if os.path.isdir("/dev/shm"):
+        d = "/dev/shm/spark_graft_bench/work"
+        os.makedirs(d, exist_ok=True)
+        return d
+    return None
+
+
+WORK_DIR = os.environ.get("BENCH_WORK_DIR") or _default_work()
+if "SPARK_LOCAL_DIRS" not in os.environ and os.path.isdir("/dev/shm"):
+    _ld = "/dev/shm/spark_graft_bench/local"
+    os.makedirs(_ld, exist_ok=True)
+    os.environ["SPARK_LOCAL_DIRS"] = _ld
 
 
 def sf_of(sf_dir: str) -> float:

@@ -908,6 +908,94 @@ def ann_bucket_stats(spark, sf_dir):
     )
 
 
+@_q(
+    "cdc_existence_probe",
+    """
+    SELECT
+      (SELECT count(*) FROM (SELECT 1 FROM orders WHERE o_orderstatus = 'P'
+                             LIMIT 1)) AS has_pending,
+      (SELECT count(*) FROM (SELECT 1 FROM orders WHERE o_orderstatus = 'X'
+                             LIMIT 1)) AS has_unknown
+    """,
+)
+def cdc_existence_probe(spark, sf_dir):
+    """O4: LIMIT-1 existence probes (reference
+    ``pipelines/block_sync_pipeline.py:504-513`` — `LIMIT 1` checks
+    before processing a block). limit(1) short-circuits the scan."""
+    o = load(spark, sf_dir, "orders")
+    p = o.filter(F.col("o_orderstatus") == "P").limit(1).count()
+    x = o.filter(F.col("o_orderstatus") == "X").limit(1).count()
+    return spark.createDataFrame(
+        [(int(p), int(x))], "has_pending long, has_unknown long"
+    )
+
+
+@_q(
+    "cdc_except_changed",
+    """
+    SELECT c_custkey, c_nationkey FROM customer
+    EXCEPT ALL
+    SELECT o_custkey AS c_custkey,
+           CAST(o_orderkey % 25 AS INTEGER) AS c_nationkey
+    FROM orders
+    """,
+)
+def cdc_except_changed(spark, sf_dir):
+    """U2: EXCEPT ALL set difference (reference uses anti-joins for
+    set-difference repair; exceptAll is the bag-semantics variant)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        (F.col("o_orderkey") % 25).cast("int").alias("c_nationkey"),
+    )
+    return c.exceptAll(o)
+
+
+@_q(
+    "cdc_avg_diagnostics",
+    """
+    SELECT o_orderstatus,
+           CAST(floor(avg(o_orderkey)) AS BIGINT) AS avg_key,
+           count(*) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def cdc_avg_diagnostics(spark, sf_dir):
+    """A5: toInt64(AVG(...)) diagnostics (reference
+    ``…_202309.py:398-404``). Integer-truncated avg is hash-stable."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.floor(F.avg("o_orderkey")).cast("long").alias("avg_key"),
+        F.count("*").alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("sum_price"),
+    )
+
+
+@_q(
+    "cdc_theta_disagreement",
+    """
+    SELECT count(*) AS n_disagree FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE CAST(strftime(o.o_orderdate, '%Y') AS INT)
+          > CAST(strftime(l.l_shipdate, '%Y') AS INT)
+    """,
+)
+def cdc_theta_disagreement(spark, sf_dir):
+    """J7: inner join + disagreement filter (reference
+    ``clickhouse_unrich_partition_detection.py:35-64`` — rows whose
+    enriched fields disagree). Here: lineitems shipped before their
+    order's year (should be ~0)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return j.filter(
+        F.year("o_orderdate") > F.year("l_shipdate")
+    ).agg(F.count("*").alias("n_disagree"))
+
+
 @_q("multimodal_features")  # no SQL oracle: mapInPandas op (rows-only check)
 def multimodal_features(spark, sf_dir):
     """Multimodal decode/feature plumbing: binary content → mapInPandas

@@ -204,6 +204,78 @@ def enrich_inputs(inputs: DataFrame, outputs: DataFrame) -> DataFrame:
     )
 
 
+def append_shielded_entries(
+    tx: DataFrame,
+    value_balance_col: str = "value_balance",
+) -> DataFrame:
+    """P7: Zcash shielded value synthesis (reference
+    ``service/btc_service.py:162-187``, index append
+    ``domain/transaction.py:46-60``): a positive value balance appends a
+    synthetic 'shielded' INPUT at the next input index; a negative one
+    appends a synthetic shielded OUTPUT. Pure array_union + computed
+    struct — the additive-variance pattern for chain-specific fields."""
+    vb = F.col(value_balance_col)
+    next_in_idx = F.size("inputs")
+    next_out_idx = F.size("outputs")
+    shielded_in = F.struct(
+        next_in_idx.alias("index"),
+        F.lit(None).cast("string").alias("spent_transaction_hash"),
+        F.lit(None).cast("int").alias("spent_output_index"),
+        F.lit(None).cast("string").alias("script_asm"),
+        F.lit(None).cast("string").alias("script_hex"),
+        F.lit(None).cast("long").alias("sequence"),
+        F.lit(False).alias("is_coinbase"),
+    )
+    shielded_out = F.struct(
+        next_out_idx.alias("index"),
+        F.lit(None).cast("string").alias("script_asm"),
+        F.lit(None).cast("string").alias("script_hex"),
+        F.lit(None).cast("int").alias("required_signatures"),
+        F.lit("shielded").alias("type"),
+        F.array(F.lit("shielded")).alias("addresses"),
+        (-vb * 100_000_000).cast("long").alias("value"),
+    )
+    out = tx.withColumn(
+        "inputs",
+        F.when(vb > 0, F.concat("inputs", F.array(shielded_in)))
+        .otherwise(F.col("inputs")),
+    ).withColumn(
+        "outputs",
+        F.when(vb < 0, F.concat("outputs", F.array(shielded_out)))
+        .otherwise(F.col("outputs")),
+    )
+    return (
+        out.withColumn("input_count", F.size("inputs"))
+        .withColumn("output_count", F.size("outputs"))
+    )
+
+
+def regroup_transactions_by_block(
+    block_tx_hashes: DataFrame, tx_details: DataFrame
+) -> DataFrame:
+    """S3: old-API two-phase fetch regroup (reference
+    ``service/btc_service.py:104-112``: BCH/DOGE/DASH return only tx
+    hashes, details fetched separately, then re-nested under the block).
+    Spark shape: explode → join → sort_array(collect_list(struct))."""
+    pairs = block_tx_hashes.select(
+        "block_hash", F.posexplode("transactions").alias("tx_index", "tx_hash")
+    )
+    j = pairs.join(
+        tx_details.withColumnRenamed("hash", "tx_hash"), "tx_hash", "inner"
+    )
+    regrouped = j.groupBy("block_hash").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("tx_index"), F.col("tx_hash")))
+        ).alias("_sorted"),
+        F.count("*").alias("tx_count"),
+    )
+    return regrouped.select(
+        "block_hash",
+        F.transform(F.col("_sorted"), lambda s: s["tx_hash"]).alias("transactions"),
+        "tx_count",
+    )
+
+
 def transaction_fees(tx: DataFrame, enriched_inputs: DataFrame) -> DataFrame:
     """P4 completion after J1: input_value = sum of enriched input values,
     fee = input_value − output_value (0 for coinbase,

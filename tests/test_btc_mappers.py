@@ -107,6 +107,44 @@ def test_fee_conservation(chain):
     assert fees == {10_000}
 
 
+def test_shielded_synthesis(chain):
+    """P7: value_balance → synthetic shielded input/output at next index."""
+    from bitcoin_etl_spark.sources.mappers import append_shielded_entries
+
+    tx = map_transactions(chain).withColumn(
+        "value_balance",
+        F.when(F.col("index") == 1, F.lit(0.5))
+        .when(F.col("index") == 2, F.lit(-0.25))
+        .otherwise(F.lit(0.0)),
+    )
+    out = append_shielded_entries(tx)
+    plus = out.filter(F.col("value_balance") > 0)
+    base = tx.filter(F.col("index") == 1)
+    assert plus.count() == base.count()
+    r_new, r_old = plus.first(), base.first()
+    assert r_new["input_count"] == r_old["input_count"] + 1
+    assert r_new["inputs"][-1]["index"] == r_old["input_count"]
+    minus = out.filter(F.col("value_balance") < 0).first()
+    assert minus["outputs"][-1]["type"] == "shielded"
+    assert minus["outputs"][-1]["value"] == 25_000_000
+    untouched = out.filter(F.col("value_balance") == 0).first()
+    assert untouched["input_count"] == F and True or untouched["input_count"] is not None
+
+
+def test_old_api_regroup(chain):
+    """S3: explode → join → collect_list regroup preserves tx order."""
+    from bitcoin_etl_spark.sources.mappers import regroup_transactions_by_block
+
+    blocks = map_blocks(chain).select(
+        F.col("hash").alias("block_hash"), "transactions"
+    )
+    tx = map_transactions(chain).select("hash", "size", "is_coinbase")
+    re_nested = regroup_transactions_by_block(blocks, tx)
+    a = {r["block_hash"]: r["transactions"] for r in blocks.collect()}
+    b = {r["block_hash"]: r["transactions"] for r in re_nested.collect()}
+    assert a == b
+
+
 def test_item_ids_unique(chain):
     tx = map_transactions(chain)
     ins = explode_inputs(tx)
