@@ -651,13 +651,14 @@ def dedup_exact(spark, sf_dir):
                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
       FROM w
     ),
+    hashed AS (SELECT doc_id, md5(shingle) AS m FROM sh),
     sig AS (
       SELECT doc_id,
-        min(('0x' || substr(md5('0:' || shingle), 1, 8))::UBIGINT::BIGINT) AS h0,
-        min(('0x' || substr(md5('1:' || shingle), 1, 8))::UBIGINT::BIGINT) AS h1,
-        min(('0x' || substr(md5('2:' || shingle), 1, 8))::UBIGINT::BIGINT) AS h2,
-        min(('0x' || substr(md5('3:' || shingle), 1, 8))::UBIGINT::BIGINT) AS h3
-      FROM sh GROUP BY doc_id
+        min(('0x' || substr(m, 1, 8))::UBIGINT::BIGINT) AS h0,
+        min(('0x' || substr(m, 9, 8))::UBIGINT::BIGINT) AS h1,
+        min(('0x' || substr(m, 17, 8))::UBIGINT::BIGINT) AS h2,
+        min(('0x' || substr(m, 25, 8))::UBIGINT::BIGINT) AS h3
+      FROM hashed GROUP BY doc_id
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM sig a JOIN sig b
@@ -683,13 +684,16 @@ def dedup_minhash_lsh(spark, sf_dir):
         ),
     )
     sh = docs.select("doc_id", F.explode(shingles).alias("shingle"))
+    # ONE md5 per shingle; the 4 minhash functions are its four 8-hex
+    # chunks (independent 32-bit values, identically computable in SQL)
+    hashed = sh.select("doc_id", F.md5("shingle").alias("m"))
     aggs = [
         F.min(
-            _hex32_to_long(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))))
+            F.conv(F.substring("m", 1 + 8 * s, 8), 16, 10).cast("long")
         ).alias(f"h{s}")
         for s in range(4)
     ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
+    sig = hashed.groupBy("doc_id").agg(*aggs)
     a = sig.alias("a")
     b = sig.alias("b")
     cond = (
