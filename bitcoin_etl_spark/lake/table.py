@@ -247,11 +247,31 @@ class LakeTable:
         m = self.manifest(version)
         return self._read_files(spark, m["files"], self.schema(version))
 
-    def read_final(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def read_final(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        strategy: str = "auto",
+    ) -> DataFrame:
         """Latest row image per key, tombstones dropped — ``FINAL``.
 
         Fast path: if only compacted base files exist, they are already
         unique-per-key, so no dedup aggregation is planned at all.
+
+        Dedup strategies over deltas:
+        * ``agg``  — ``groupBy(key).max_by(struct(payload), _rev)``: one
+          shuffle of the full (wide) rows, planned as a SortAggregate
+          because the buffer holds arrays. Partial phase collapses hot
+          keys map-side. Right when the winner set is huge.
+        * ``join`` — hash-aggregate the NARROW ``(key, max(_rev))``
+          winner set, then broadcast-semi-join it back: the wide rows
+          are never shuffled or sorted at all; only the winner rows
+          (≤ live keys) pass through a small dedup. Right when winners
+          fit the broadcast budget — the common compaction case.
+        * ``auto`` — ``join`` if estimated winner count is under
+          ``broadcast_winner_limit`` rows, else ``agg``. At 10^10-event
+          scale with billions of live keys this degrades gracefully to
+          the shuffle plan.
         """
         m = self.manifest(version)
         schema = self.schema(version)
@@ -260,14 +280,32 @@ class LakeTable:
             df = self._read_files(spark, files, schema)
             return df.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
         df = self._read_files(spark, files, schema)
-        payload = [f.name for f in schema.fields if f.name != self.key]
-        # max_by = partial-agg last-writer-wins: hot keys pre-collapse
-        # map-side instead of flooding one window partition.
-        agg = df.groupBy(self.key).agg(
-            F.max_by(F.struct(*payload), F.col(REV_COL)).alias("_latest")
-        )
-        out = agg.select(self.key, "_latest.*")
+        if strategy == "auto":
+            # base rows are unique-per-key lower bound; delta rows upper
+            # bound — cheap file-metadata estimate, no job
+            est = sum(f["rows"] or 0 for f in files)
+            strategy = "join" if est <= self._broadcast_winner_limit else "agg"
+        if strategy == "join":
+            winners = df.groupBy(self.key).agg(F.max(REV_COL).alias(REV_COL))
+            joined = df.join(
+                F.broadcast(winners), [self.key, REV_COL], "left_semi"
+            )
+            # duplicate-delivery safety: identical (key, _rev) rows may
+            # exist across replayed delta files; tiny winner-sized dedup
+            out = joined.dropDuplicates([self.key, REV_COL])
+        else:
+            payload = [f.name for f in schema.fields if f.name != self.key]
+            # max_by = partial-agg last-writer-wins: hot keys pre-collapse
+            # map-side instead of flooding one window partition.
+            agg = df.groupBy(self.key).agg(
+                F.max_by(F.struct(*payload), F.col(REV_COL)).alias("_latest")
+            )
+            out = agg.select(self.key, "_latest.*")
         return out.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
+
+    # winners above this row estimate fall back to the shuffle plan
+    # (10M keys ≈ 400 MB broadcast — the practical driver-side budget)
+    _broadcast_winner_limit = 10_000_000
 
     def read_bucket_files(
         self, spark: SparkSession, buckets: set[int]
