@@ -1000,6 +1000,72 @@ def cdc_theta_disagreement(spark, sf_dir):
     ).agg(F.count("*").alias("n_disagree"))
 
 
+@_q(
+    "cdc_filter_items",
+    """
+    SELECT event_id, user_id, event_type, value FROM events
+    WHERE event_type IN ('purchase', 'signup') AND value > 100.0
+      AND strftime(ts, '%Y-%m-%d') >= '2024-01-02'
+    """,
+)
+def cdc_filter_items(spark, sf_dir):
+    """P10: declarative predicate filter — the safe re-expression of the
+    reference's eval()'d Python predicate strings
+    (``blockchainetl/cli/filter_items.py:33-40``; date-filter example
+    ``README.md:300-303``). The predicate is a SQL expression compiled by
+    Catalyst and pushed into the scan — the arbitrary-code form is
+    intentionally NOT reproduced."""
+    from ..functions.filters import filter_items
+
+    ev = load(spark, sf_dir, "events")
+    return filter_items(
+        ev,
+        "event_type IN ('purchase','signup') AND value > 100.0 "
+        "AND date_format(ts, 'yyyy-MM-dd') >= '2024-01-02'",
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+def _hyperplane_sql(dim: int = 64, n_planes: int = 4) -> str:
+    from ..ops.similarity import _hyperplanes
+
+    bits = []
+    for p, plane in enumerate(_hyperplanes(dim, n_planes, seed=0)):
+        arr = "[" + ", ".join(f"{x:.1f}" for x in plane) + "]"
+        bits.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    expr = " + ".join(bits)
+    return f"""
+    SELECT bucket, count(*) AS cnt, count(DISTINCT label) AS n_labels
+    FROM (SELECT ({expr}) AS bucket, label FROM embeddings)
+    GROUP BY bucket
+    """
+
+
+@_q("ann_lsh_hyperplane_buckets", None)
+def ann_lsh_hyperplane_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucketing (sign of v·h per deterministic
+    md5-derived hyperplane) — the scale path for embedding similarity:
+    candidate joins become equi-joins on the bucket signature. Oracle is
+    generated SQL with the identical hyperplane literals."""
+    from ..ops.similarity import lsh_bucket
+
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            lsh_bucket(F.col("embedding"), dim=64, n_planes=4, seed=0)
+            .alias("bucket"),
+            "label",
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"), F.countDistinct("label").alias("n_labels"))
+    )
+
+
+ORACLES["ann_lsh_hyperplane_buckets"] = _hyperplane_sql()
+
+
 @_q("multimodal_features")  # no SQL oracle: mapInPandas op (rows-only check)
 def multimodal_features(spark, sf_dir):
     """Multimodal decode/feature plumbing: binary content → mapInPandas
