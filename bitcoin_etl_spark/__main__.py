@@ -69,11 +69,8 @@ def cmd_replay(args):
         table, pipeline_id=args.pipeline, pre_reduce=not args.no_reduce,
         quarantine_mode=args.quarantine, compact_every=args.compact_every,
     )
-    sch = T.StructType(
-        list(CHANGES_SCHEMA.fields) + [T.StructField("epoch", T.LongType(), True)]
-    )
     df = (
-        spark.read.schema(sch).option("basePath", args.changes)
+        spark.read.schema(CHANGES_SCHEMA).option("basePath", args.changes)
         .parquet(args.changes)
     )
     if args.lag_blocks:

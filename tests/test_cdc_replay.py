@@ -36,11 +36,9 @@ def _read_changes(spark, scen_dir, sub="changes"):
 
 
 def _schema_with_epoch():
-    from pyspark.sql import types as T
-
-    return T.StructType(
-        list(CHANGES_SCHEMA.fields) + [T.StructField("epoch", T.LongType(), True)]
-    )
+    # CHANGES_SCHEMA already declares `epoch` (a directory-partition
+    # column in the on-disk layout)
+    return CHANGES_SCHEMA
 
 
 def _payload_schema():

@@ -13,11 +13,8 @@ from bitcoin_etl_spark.streaming.windows import (
 
 
 def _stream(spark, changes_dir):
-    sch = T.StructType(
-        list(CHANGES_SCHEMA.fields) + [T.StructField("epoch", T.LongType(), True)]
-    )
     return (
-        spark.readStream.schema(sch)
+        spark.readStream.schema(CHANGES_SCHEMA)
         .option("basePath", changes_dir)
         .parquet(changes_dir)
     )
