@@ -451,6 +451,82 @@ def q3_shipping_priority(spark, sf_dir):
     )
 
 
+@_q(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape — 6-way join with a selective region filter;
+    Catalyst broadcast-joins the dims and reorders; demonstrates join
+    planning breadth beyond the reference's equi-join repertoire."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    j = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+    )
+    return j.groupBy("n_name").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+        ).cast("double").alias("revenue")
+    )
+
+
+@_q(
+    "q18_large_orders",
+    """
+    SELECT o.o_orderkey,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey
+    HAVING sum(CAST(l.l_quantity AS DECIMAL(18,2))) > 150
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape — join + GROUP BY + HAVING threshold (the
+    dup-detect HAVING pattern A3 at aggregate scale)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    agg = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q")
+        )
+        .filter(F.col("_q") > 150)
+    )
+    return agg.select(
+        "o_orderkey", F.col("_q").cast("double").alias("total_qty")
+    )
+
+
 # =========================================================================
 # Streaming-analog windows (batch equivalents of the T-class operators)
 # =========================================================================
