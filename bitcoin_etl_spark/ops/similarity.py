@@ -78,6 +78,30 @@ def lsh_bucket(vec_col: Column, dim: int, n_planes: int = 8,
     return sig
 
 
+def ivf_assign(df: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               cent_id: str = "centroid_id",
+               cent_vec: str = "centroid") -> DataFrame:
+    """IVF coarse quantization: assign every vector to its max-cosine
+    centroid. Centroid set is small → broadcast; the assignment is a
+    narrow map over the data (K cosines per row), and downstream
+    candidate search becomes an equi-join on centroid_id — the
+    inverted-file property that caps shuffle at O(n), never O(n²)."""
+    from pyspark.sql import Window as W
+
+    j = df.crossJoin(F.broadcast(centroids))
+    scored = j.select(
+        id_col, vec_col, cent_id,
+        cosine(_dbl(F.col(vec_col)), _dbl(F.col(cent_vec))).alias("_cos"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("_cos"), F.asc(cent_id))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, cent_id)
+    )
+
+
 def embedding_near_dup_pairs(df: DataFrame, dim: int,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",

@@ -1142,6 +1142,73 @@ def ann_lsh_hyperplane_buckets(spark, sf_dir):
 ORACLES["ann_lsh_hyperplane_buckets"] = _hyperplane_sql()
 
 
+@_q(
+    "ann_ivf_topk",
+    """
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id < 8
+    ), assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, c.centroid)
+                          DESC, c.centroid_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT a.centroid_id AS qc, e.embedding AS qe
+      FROM embeddings e JOIN assigned a ON a.vec_id = e.vec_id
+      WHERE e.vec_id = 0
+    )
+    SELECT vec_id, rank FROM (
+      SELECT a.vec_id,
+             row_number() OVER (
+               ORDER BY list_cosine_similarity(a.embedding, q.qe) DESC,
+                        a.vec_id
+             ) AS rank
+      FROM assigned a, q
+      WHERE a.centroid_id = q.qc AND a.vec_id <> 0
+    ) WHERE rank <= 5
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: coarse-quantize every vector to its nearest of 8
+    deterministic centroids (the first 8 vectors), then search only the
+    query's inverted list — the scale path where candidate search is an
+    equi-join on centroid_id. Baseline recall vs ann_cosine_topk is
+    checked by the shared oracle machinery."""
+    from ..ops.similarity import cosine, _dbl, ivf_assign
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    assigned = ivf_assign(e, cents)
+    q = (
+        assigned.filter(F.col("vec_id") == 0)
+        .select(
+            F.col("centroid_id").alias("qc"), F.col("embedding").alias("qe")
+        )
+    )
+    cand = assigned.join(
+        F.broadcast(q), assigned.centroid_id == F.col("qc")
+    ).filter(F.col("vec_id") != 0)
+    scored = cand.select(
+        "vec_id", cosine(_dbl(F.col("embedding")), _dbl(F.col("qe"))).alias("cos")
+    )
+    w = W.orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("vec_id", "rank")
+    )
+
+
 @_q("multimodal_features")  # no SQL oracle: mapInPandas op (rows-only check)
 def multimodal_features(spark, sf_dir):
     """Multimodal decode/feature plumbing: binary content → mapInPandas
