@@ -108,7 +108,12 @@ def cmd_compact(args):
 
 
 def cmd_repair(args):
-    from .operators.repair import find_duplicate_keys, find_missing_epochs
+    from .operators.repair import (
+        count_conservation,
+        find_duplicate_keys,
+        find_missing_epochs,
+    )
+    from .schemas import CHANGES_SCHEMA
 
     spark = _spark(args)
     table = _open_table(args)
@@ -118,7 +123,21 @@ def cmd_repair(args):
         ).collect()
     ]
     dups = find_duplicate_keys(table.read_final(spark)).count()
-    print(json.dumps({"missing_epochs": missing, "duplicate_keys": dups}))
+    out = {"missing_epochs": missing, "duplicate_keys": dups}
+    if args.changes:
+        # A1 count-conservation check against the source change log
+        from .operators.validate import tokens_valid_expr
+
+        changes = (
+            spark.read.schema(CHANGES_SCHEMA)
+            .option("basePath", args.changes)
+            .parquet(args.changes)
+            .withColumn("_v", tokens_valid_expr())
+            .filter(F.col("_v"))
+            .drop("_v")
+        )
+        out["conservation"] = count_conservation(spark, table, changes)
+    print(json.dumps(out))
 
 
 def cmd_lineage(args):
@@ -177,6 +196,8 @@ def main(argv=None):
     rp = sub.add_parser("repair")
     table_args(rp, with_changes=False)
     rp.add_argument("--expected-max", type=int, default=None)
+    rp.add_argument("--changes", default=None,
+                    help="change-log dir for count-conservation check")
 
     args = p.parse_args(argv)
     {

@@ -693,6 +693,41 @@ def langid_heuristic(spark, sf_dir):
 
 
 @_q(
+    "text_ngram_profile",
+    """
+    WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+               FROM documents),
+    bg AS (
+      SELECT lang,
+             unnest(list_transform(generate_series(1, greatest(len(ws)-1, 0)),
+                    i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      FROM w
+    )
+    SELECT lang, count(*) AS n_bigrams,
+           count(DISTINCT bigram) AS n_distinct_bigrams
+    FROM bg GROUP BY lang
+    """,
+)
+def text_ngram_profile(spark, sf_dir):
+    """N-gram profile per language tag: bigram volume and diversity —
+    the n-gram footprint behind language-ID and shingle dedup, as a
+    pure explode+aggregate (no UDFs)."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - 1, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+        ),
+    )
+    bg = docs.select("lang", F.explode(bigrams).alias("bigram"))
+    return bg.groupBy("lang").agg(
+        F.count("*").alias("n_bigrams"),
+        F.countDistinct("bigram").alias("n_distinct_bigrams"),
+    )
+
+
+@_q(
     "dedup_exact",
     """
     SELECT f AS fingerprint, count(*) AS n_docs, min(doc_id) AS keep_doc_id
