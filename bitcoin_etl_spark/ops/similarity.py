@@ -31,21 +31,45 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def ranked_topk(scored: DataFrame, k: int, order_col: str = "cos",
+                id_col: str = "vec_id") -> DataFrame:
+    """Distributed top-k with a ``rank`` column.
+
+    ``orderBy(...).limit(k)`` plans as TakeOrderedAndProject — each task
+    keeps its local top-k and the driver merges k×partitions rows — so
+    no scored row funnels through a single-partition global sort (the
+    ``WindowExec: No Partition Defined`` anti-pattern this replaces; a
+    global window can't be used even on the survivors without
+    re-triggering it, since Catalyst folds constant partition keys away).
+    Ranks are stamped on the ≤k survivors windowlessly:
+    rank = 1 + how many survivors beat you, via a broadcast self-join —
+    O(k²) comparisons on k rows, exact for the (order_col desc, id asc)
+    total order."""
+    order = [F.desc(order_col), F.asc(id_col)]
+    top = scored.orderBy(*order).limit(k)
+    out_cols = top.columns
+    a = top.alias("a")
+    b = top.select(order_col, id_col).alias("b")
+    beats = (F.col(f"b.{order_col}") > F.col(f"a.{order_col}")) | (
+        (F.col(f"b.{order_col}") == F.col(f"a.{order_col}"))
+        & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
+    )
+    return (
+        a.join(F.broadcast(b), beats, "left")
+        .groupBy(*[F.col(f"a.{c}").alias(c) for c in out_cols])
+        .agg((F.count(F.col(f"b.{id_col}")) + 1).cast("int").alias("rank"))
+    )
+
+
 def cosine_topk(df: DataFrame, query: list[float], k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Brute-force top-k vs one query vector: broadcast the query as a
-    literal array, rank. One scan, one tiny top-k shuffle."""
+    literal array, score in one scan, distributed TakeOrdered top-k."""
     q = F.array(*[F.lit(float(x)) for x in query])
     scored = df.select(
         F.col(id_col), cosine(_dbl(F.col(vec_col)), q).alias("cos")
     )
-    from pyspark.sql import Window as W
-
-    w = W.orderBy(F.desc("cos"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return ranked_topk(scored, k, "cos", id_col)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 0) -> list[list[float]]:

@@ -672,10 +672,10 @@ def text_quality(spark, sf_dir):
     f"""
     SELECT lang,
            count(*) AS n_docs,
-           sum(CASE WHEN length(list_filter(string_split(text,' '),
+           CAST(sum(CASE WHEN length(list_filter(string_split(text,' '),
                                 t -> t IN {_STOP_SQL})) * 10
                         >= length(string_split(text,' ')) THEN 1 ELSE 0 END)
-             AS n_pred_en
+             AS BIGINT) AS n_pred_en
     FROM documents GROUP BY lang
     """,
 )
@@ -854,20 +854,18 @@ def ann_cosine_topk(spark, sf_dir):
         F.aggregate(dbl(c), F.lit(0.0), lambda acc, x: acc + x * x)
     )
     cos = dot / (norm("embedding") * norm("qe"))
-    w = W.orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
-        j.select("vec_id", cos.alias("cos"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("vec_id", "rank")
-    )
+    from ..ops.similarity import ranked_topk
+
+    scored = j.select("vec_id", cos.alias("cos"))
+    return ranked_topk(scored, 10).select("vec_id", "rank")
 
 
 @_q(
     "events_json_extract",
     """
     SELECT event_type,
-           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
            count(*) AS cnt
     FROM events GROUP BY event_type
     """,
@@ -948,7 +946,7 @@ def pivot_status_by_priority(spark, sf_dir):
     "rollup_docs_by_source_lang",
     """
     SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
-           count(*) AS cnt, sum(n_chars) AS sum_chars
+           count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM documents
     GROUP BY GROUPING SETS ((source, lang), (source), ())
     """,
@@ -985,7 +983,8 @@ def rollup_docs_by_source_lang(spark, sf_dir):
       SELECT doc_id, bit, sum(v) AS sv FROM votes GROUP BY doc_id, bit
     )
     SELECT doc_id,
-           sum(CASE WHEN sv > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN sv > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+             AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id
     """,
 )
@@ -1215,8 +1214,7 @@ def ann_ivf_topk(spark, sf_dir):
     query's inverted list — the scale path where candidate search is an
     equi-join on centroid_id. Baseline recall vs ann_cosine_topk is
     checked by the shared oracle machinery."""
-    from ..ops.similarity import cosine, _dbl, ivf_assign
-    from pyspark.sql import Window as W
+    from ..ops.similarity import cosine, _dbl, ivf_assign, ranked_topk
 
     e = load(spark, sf_dir, "embeddings")
     cents = e.filter(F.col("vec_id") < 8).select(
@@ -1236,12 +1234,7 @@ def ann_ivf_topk(spark, sf_dir):
     scored = cand.select(
         "vec_id", cosine(_dbl(F.col("embedding")), _dbl(F.col("qe"))).alias("cos")
     )
-    w = W.orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("vec_id", "rank")
-    )
+    return ranked_topk(scored, 5).select("vec_id", "rank")
 
 
 @_q("multimodal_features")  # no SQL oracle: mapInPandas op (rows-only check)

@@ -128,7 +128,10 @@ def test_shielded_synthesis(chain):
     assert minus["outputs"][-1]["type"] == "shielded"
     assert minus["outputs"][-1]["value"] == 25_000_000
     untouched = out.filter(F.col("value_balance") == 0).first()
-    assert untouched["input_count"] == F and True or untouched["input_count"] is not None
+    base_untouched = tx.filter(F.col("value_balance") == 0).first()
+    assert untouched["input_count"] == base_untouched["input_count"]
+    assert untouched["output_count"] == base_untouched["output_count"]
+    assert len(untouched["inputs"] or []) == len(base_untouched["inputs"] or [])
 
 
 def test_old_api_regroup(chain):
