@@ -51,27 +51,40 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        shingle_k: int = 3) -> DataFrame:
     """MinHash signature per doc: explode shingles once, take min of
     ``n_hashes`` independent 32-bit hashes. One shuffle (groupBy id),
-    partial-aggregated map-side."""
+    partial-aggregated map-side. Each seeded md5 yields FOUR independent
+    32-bit hash functions (its 8-hex chunks), so the dominant cost —
+    md5 per shingle — is n_hashes/4, and every chunk is identically
+    computable in a SQL oracle (substr of the same md5 hex)."""
     sh = df.select(
         F.col(id_col), F.explode(_shingles(text_col, shingle_k)).alias("sh")
     )
-    aggs = [F.min(_h32(F.col("sh"), s)).alias(f"h{s}") for s in range(n_hashes)]
+    n_md5 = (n_hashes + 3) // 4
+    md5s = [
+        F.md5(F.concat(F.lit(f"{m}:"), F.col("sh"))) for m in range(n_md5)
+    ]
+    aggs = []
+    for s in range(n_hashes):
+        m, c = divmod(s, 4)
+        h = F.conv(F.substring(md5s[m], 1 + 8 * c, 8), 16, 10).cast("long")
+        aggs.append(F.min(h).alias(f"h{s}"))
     return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
                         n_hashes: int = 16, bands: int = 4) -> DataFrame:
     """Band the signature (bands × rows), equi-join per band bucket,
-    union + distinct. Equi-join on (band, bucket-hash) only — the classic
-    LSH shuffle shape that survives 100 TB."""
+    union + distinct. Equi-join on (band, bucket) only — the classic
+    LSH shuffle shape that survives 100 TB. The bucket key is the raw
+    array of band hash values (not a re-hash): Spark shuffles/joins on
+    array<long> natively, and the same key is computable in an
+    independent SQL oracle (no Spark-only xxhash64)."""
     rows = n_hashes // bands
     pieces = []
     for b in range(bands):
         cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
-        bucket = F.xxhash64(*cols)
         pieces.append(
             sig.select(F.col(id_col), F.lit(b).alias("band"),
-                       bucket.alias("bucket"))
+                       F.array(*cols).alias("bucket"))
         )
     banded = pieces[0]
     for p in pieces[1:]:
@@ -117,65 +130,111 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def hamming_near_pairs(sim: DataFrame, id_col: str = "doc_id",
-                       max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
-    """Near-dup candidates by SimHash: bucket on the high ``prefix_bits``
-    (pigeonhole — identical prefix is necessary for small distance when
-    differences concentrate in low bits), verify Hamming distance via
-    bit_count on the XOR. Equi-join on prefix only."""
-    with_p = sim.withColumn(
-        "p", F.shiftright(F.col("simhash"), 32 - prefix_bits)
-    )
-    a, b = with_p.alias("a"), with_p.alias("b")
+                       max_hamming: int = 3, bits: int = 32) -> DataFrame:
+    """Near-dup pairs by SimHash with FULL recall: split the ``bits``-bit
+    fingerprint into ``max_hamming + 1`` disjoint contiguous bands — by
+    pigeonhole, any pair within ``max_hamming`` differing bits agrees
+    EXACTLY on at least one band — so candidates are the union of
+    per-band equi-joins (never all-pairs), then verified by
+    bit_count(xor) ≤ max_hamming. Shuffle = O(docs × (max_hamming+1));
+    the round-1 single-prefix variant missed pairs whose differing bits
+    fell in the prefix and is gone."""
+    n_bands = max_hamming + 1
+    bounds = [round(i * bits / n_bands) for i in range(n_bands + 1)]
+    pieces = []
+    for b in range(n_bands):
+        lo, hi = bounds[b], bounds[b + 1]
+        mask = (1 << (hi - lo)) - 1
+        key = F.expr(f"(simhash >> {lo}) & {mask}")
+        pieces.append(
+            sim.select(
+                F.col(id_col), F.col("simhash"),
+                F.lit(b).alias("band"), key.alias("bkey"),
+            )
+        )
+    banded = pieces[0]
+    for p in pieces[1:]:
+        banded = banded.unionByName(p)
+    a, b_ = banded.alias("a"), banded.alias("b")
     return (
         a.join(
-            b,
-            (F.col("a.p") == F.col("b.p"))
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .withColumn(
-            "hamming",
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ),
-        )
-        .filter(F.col("hamming") <= max_hamming)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            "hamming",
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
-def ngram_jaccard_pairs(df: DataFrame, candidates: DataFrame,
+def ngram_jaccard_pairs(df: DataFrame, candidates: DataFrame | None,
                         text_col: str = "text", id_col: str = "doc_id",
                         shingle_k: int = 3,
-                        min_jaccard: float = 0.8) -> DataFrame:
-    """Exact n-gram Jaccard verification over candidate pairs only:
-    |A∩B| via a shingle equi-join restricted to candidates, |A∪B| from
-    per-doc distinct counts. Never materializes the cross product."""
+                        min_jaccard: float = 0.8,
+                        max_doc_freq: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs: |A∩B| via a shingle
+    equi-join, |A∪B| from per-doc distinct counts. Never materializes
+    the cross product.
+
+    ``candidates=None`` runs COMPLETE mode: candidates are all pairs
+    sharing ≥1 distinct shingle — exact full recall for any
+    min_jaccard > 0 (J>0 ⟹ shared shingle). The shingle self-join is
+    the only blowup risk (a shingle in f docs yields f² join rows); at
+    cluster scale pass ``max_doc_freq`` to drop shingles more frequent
+    than the cap before the join — standard stop-shingle pruning whose
+    only recall cost is pairs ALL of whose shared shingles are
+    ultra-common. The jaccard threshold is applied in integer
+    arithmetic (n_inter vs n_union) so results are float-exact and
+    oracle-checkable."""
     sh = df.select(
         F.col(id_col), F.explode(_shingles(text_col, shingle_k)).alias("sh")
     ).distinct()
+    if max_doc_freq is not None:
+        freq = sh.groupBy("sh").agg(F.count("*").alias("_df"))
+        sh = sh.join(freq.filter(F.col("_df") <= max_doc_freq), "sh").select(
+            id_col, "sh"
+        )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.toDF("id_a", "sh")
     b = sh.toDF("id_b", "sh")
-    inter = (
-        candidates.join(a, "id_a")
-        .join(b, ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
+    if candidates is None:
+        inter = (
+            a.join(b, "sh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        inter = (
+            candidates.join(a, "id_a")
+            .join(b, ["id_b", "sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
     sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a")
     sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b")
+    num, den = _ratio_ints(min_jaccard)
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_inter")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-        )
-        .filter(F.col("jaccard") >= min_jaccard)
-        .select("id_a", "id_b", "jaccard")
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        .filter(F.col("n_inter") * den >= F.col("n_union") * num)
+        .select("id_a", "id_b", "n_inter", "n_union")
     )
+
+
+def _ratio_ints(x: float, max_den: int = 1000) -> tuple[int, int]:
+    """Smallest exact integer ratio for a threshold like 0.8 → (4, 5),
+    so threshold tests run in integer arithmetic (no float compare)."""
+    from fractions import Fraction
+
+    fr = Fraction(x).limit_denominator(max_den)
+    return fr.numerator, fr.denominator

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 # Queries with no SQL-expressible oracle (driver records rows-only check):
-ROWS_ONLY: set[str] = {"multimodal_features"}
+ROWS_ONLY: set[str] = set()
 
 
 def _q(name: str, sql: str | None = None):
@@ -1237,15 +1237,43 @@ def ann_ivf_topk(spark, sf_dir):
     return ranked_topk(scored, 5).select("vec_id", "rank")
 
 
-@_q("multimodal_features")  # no SQL oracle: mapInPandas op (rows-only check)
+def _multimodal_oracle_sql(n: int = 200, seed: int = 42) -> str:
+    """Independent recompute of the deterministic synthesize_media bytes
+    and their sha256/byte-count features, baked into SQL as VALUES
+    literals (DuckDB 1.0 sha256() only hashes VARCHAR, so the blob hash
+    can't be computed inside DuckDB itself). Computed in plain Python at
+    import — never through the Spark mapInPandas path under test."""
+    import hashlib
+
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        content = hashlib.md5(f"{seed}:{i}".encode()).digest() * (4 + i % 7)
+        sha = hashlib.sha256(content).hexdigest()
+        rows.append(f"('m_{i:06d}', '{kind}', {len(content)}, '{sha}')")
+    vals = ",\n      ".join(rows)
+    return f"""
+    SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes, content_sha
+    FROM (VALUES {vals})
+         AS t(media_id, kind, n_bytes, content_sha)
+    """
+
+
+@_q("multimodal_features", None)
 def multimodal_features(spark, sf_dir):
     """Multimodal decode/feature plumbing: binary content → mapInPandas
     (Arrow-batched) stub decoder → typed feature rows. Deterministic fake
-    decode (no codecs in this container); see ops.multimodal."""
+    decode (no codecs in this container); see ops.multimodal. Oracle is
+    a pure-Python recompute of the same deterministic bytes (generated
+    VALUES SQL) — the Spark plumbing is what's under test."""
     from ..ops.multimodal import extract_features, synthesize_media
 
     media = synthesize_media(spark, n=200)
     return extract_features(media).drop("features")
+
+
+ORACLES["multimodal_features"] = _multimodal_oracle_sql()
 
 
 @_q(
@@ -1266,3 +1294,207 @@ def multimodal_meta(spark, sf_dir):
         F.length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes"),
         "source",
     )
+
+
+# =========================================================================
+# Dedup library ops, oracle-checked (round-2: these four had pytest-only
+# coverage; each now has a driver-visible CORRECTNESS entry)
+# =========================================================================
+
+def _minhash_banded_sql(n_hashes: int = 16, bands: int = 4) -> str:
+    """Generated oracle for banded MinHash-LSH: the same chunked-md5
+    minhash functions (hash s = 8-hex chunk s%4 of md5('{s//4}:'||sh))
+    and the same per-band bucket key (the raw list of band hashes)."""
+    mins = ",\n        ".join(
+        "min(('0x' || substr(md5('{m}:' || shingle), {off}, 8))"
+        "::UBIGINT::BIGINT) AS h{s}".format(m=s // 4, off=1 + 8 * (s % 4), s=s)
+        for s in range(n_hashes)
+    )
+    rows = n_hashes // bands
+    band_sel = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band, [{hs}] AS bucket FROM sig".format(
+            b=b, hs=", ".join(f"h{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+      FROM w
+    ),
+    sig AS (
+      SELECT doc_id,
+        {mins}
+      FROM sh GROUP BY doc_id
+    ),
+    banded AS (
+      {band_sel}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """
+
+
+@_q("dedup_lsh_banded", None)
+def dedup_lsh_banded(spark, sf_dir):
+    """Banded MinHash-LSH candidate pairs via the library ops
+    (ops.dedup.minhash_signatures + lsh_candidate_pairs): 16 minhashes in
+    4 bands of 4 — a pair is a candidate iff it agrees on a FULL band.
+    Every join is an equi-join on (band, hash-array); shuffle is
+    O(docs × bands), never all-pairs. Oracle is generated SQL with the
+    identical chunked-md5 hash functions."""
+    from ..ops.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = load(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, n_hashes=16)
+    return lsh_candidate_pairs(sig, n_hashes=16, bands=4)
+
+
+ORACLES["dedup_lsh_banded"] = _minhash_banded_sql()
+
+
+@_q(
+    "dedup_simhash_hamming",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), th AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('0:' || tok), 1, 8))::UBIGINT::BIGINT AS h
+      FROM toks
+    ), votes AS (
+      SELECT doc_id, b.bit,
+             CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END AS v
+      FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit) b
+    ), bits AS (
+      SELECT doc_id, bit, sum(v) AS sv FROM votes GROUP BY doc_id, bit
+    ), sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN sv > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+               AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+    """,
+)
+def dedup_simhash_hamming(spark, sf_dir):
+    """SimHash near-dup pairs with FULL recall: the fingerprint is split
+    into max_hamming+1 disjoint bit-bands; by pigeonhole any pair within
+    the distance budget agrees exactly on ≥1 band, so candidates are a
+    union of per-band equi-joins and the verify is bit_count(xor).
+    The oracle deliberately brute-forces ALL pairs (fine at oracle
+    scale) — so this entry checks the RECALL guarantee, not just the
+    implementation: the banded plan must find every qualifying pair."""
+    from ..ops.dedup import hamming_near_pairs, simhash
+
+    docs = load(spark, sf_dir, "documents")
+    sig = simhash(docs, bits=32)
+    return hamming_near_pairs(sig, max_hamming=4, bits=32).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+      FROM w
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(sa.n + sb.n - n_inter AS BIGINT) AS n_union
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter * 2 >= (sa.n + sb.n - n_inter)
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs (J ≥ 0.5) in COMPLETE mode: candidates
+    are pairs sharing ≥1 distinct shingle (full recall for any J > 0),
+    intersection from a shingle equi-join, union from per-doc distinct
+    counts, threshold in integer arithmetic (2·|A∩B| ≥ |A∪B|) so the
+    result is float-exact. At cluster scale the same op takes an LSH
+    candidate set or a max_doc_freq stop-shingle cap; the relational
+    shape (equi-join + two partial aggs) is identical."""
+    from ..ops.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, None, min_jaccard=0.5)
+
+
+def _embedding_near_dup_sql(dim: int = 64, n_planes: int = 8,
+                            n_tables: int = 2, min_cos: float = 0.95) -> str:
+    """Generated oracle for multi-table LSH near-dup: identical
+    hyperplane literals per table, identical bucket construction, exact
+    cosine verify via list_dot_product on DOUBLE lists."""
+    from ..ops.similarity import _hyperplanes
+
+    tables = []
+    for t in range(n_tables):
+        bits = []
+        for p, plane in enumerate(_hyperplanes(dim, n_planes, seed=t)):
+            arr = "[" + ", ".join(f"{x:.1f}" for x in plane) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}) >= 0 "
+                f"THEN {1 << p} ELSE 0 END)"
+            )
+        expr = " + ".join(bits)
+        tables.append(
+            f"SELECT vec_id, embedding, {t} AS tab, ({expr}) AS bucket "
+            f"FROM embeddings"
+        )
+    banded = "\n      UNION ALL\n      ".join(tables)
+    return f"""
+    WITH banded AS (
+      {banded}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.embedding AS va, b.embedding AS vb
+      FROM banded a JOIN banded b
+        ON a.tab = b.tab AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b FROM cand
+    WHERE list_dot_product(va::DOUBLE[], vb::DOUBLE[])
+          / (sqrt(list_dot_product(va::DOUBLE[], va::DOUBLE[]))
+             * sqrt(list_dot_product(vb::DOUBLE[], vb::DOUBLE[])))
+          >= {min_cos}
+    """
+
+
+@_q("ann_embedding_near_dup", None)
+def ann_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: candidates from 2 independent
+    random-hyperplane LSH bucketings (union of equi-joins on (table,
+    bucket) — O(n × tables) shuffle, never all-pairs), verified by exact
+    cosine ≥ 0.95. Oracle is generated SQL with the identical
+    deterministic hyperplane literals; the pair set (not the float
+    score) is the checked output."""
+    from ..ops.similarity import embedding_near_dup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(
+        emb, dim=64, n_planes=8, min_cosine=0.95, n_tables=2
+    )
+    return pairs.select("id_a", "id_b")
+
+
+ORACLES["ann_embedding_near_dup"] = _embedding_near_dup_sql()
