@@ -59,15 +59,22 @@ def _csv_safe(df: DataFrame) -> DataFrame:
 def export_items(items: dict[str, DataFrame], out_dir: str,
                  fmt: str = "json") -> dict[str, int]:
     """Route item DataFrames by type to per-type sinks; returns per-type
-    counts (the AtomicCounter analog, A7)."""
+    counts (the AtomicCounter analog, A7). Counts ride the write job as
+    an Observation — one job per sink, never a recompute."""
+    import uuid
+
+    from pyspark.sql import Observation
+
     counts = {}
     for item_type, df in items.items():
         path = f"{out_dir}/{item_type}"
+        obs = Observation(f"export-{item_type}-{uuid.uuid4().hex[:6]}")
+        observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
         if fmt == "json":
-            df.write.mode("overwrite").json(path)
+            observed.write.mode("overwrite").json(path)
         elif fmt == "csv":
-            _csv_safe(df).write.mode("overwrite").csv(path, header=True)
+            _csv_safe(observed).write.mode("overwrite").csv(path, header=True)
         else:
-            df.write.mode("overwrite").parquet(path)
-        counts[item_type] = df.count()
+            observed.write.mode("overwrite").parquet(path)
+        counts[item_type] = int(obs.get.get("n") or 0)
     return counts

@@ -27,13 +27,14 @@ Quarantine is ``eager`` (bad rows written per epoch — one extra job) or
 from __future__ import annotations
 
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from ..lake.table import DELETED_COL, REV_COL, LakeTable
 from .reduce import last_event_wins
-from .validate import split_valid_invalid, tokens_valid_expr, tokens_valid_udf
+from .validate import tokens_valid_expr, tokens_valid_udf
 
 CHANGE_META_COLS = ("seq", "epoch", "op", "block", "reorg_of", "ingest_ts")
 
@@ -91,15 +92,22 @@ class EpochApplier:
 
         n_bad = 0
         if self.quarantine_mode == "eager":
-            valid, bad = split_valid_invalid(df, self.use_pandas_udf_validation)
-            n_bad = bad.count()
-            if n_bad:
-                bad.write.mode("errorifexists").parquet(
-                    os.path.join(
-                        self.quarantine_dir,
-                        f"epoch={epoch_id}-{uuid.uuid4().hex[:8]}",
-                    )
-                )
+            # one pass: the bad-row count rides the quarantine write as
+            # an Observation (no separate count job, no recompute); an
+            # all-valid epoch just removes its empty quarantine dir
+            flagged = df.withColumn("_valid", self._valid_flag())
+            bad = flagged.filter(~F.col("_valid")).drop("_valid")
+            qdir = os.path.join(
+                self.quarantine_dir, f"epoch={epoch_id}-{uuid.uuid4().hex[:8]}"
+            )
+            obs_bad = Observation(f"bad-{epoch_id}-{uuid.uuid4().hex[:6]}")
+            bad.observe(
+                obs_bad, F.count(F.lit(1)).alias("n_bad")
+            ).write.mode("errorifexists").parquet(qdir)
+            n_bad = int(obs_bad.get.get("n_bad") or 0)
+            if not n_bad:
+                shutil.rmtree(qdir, ignore_errors=True)
+            valid = flagged.filter(F.col("_valid")).drop("_valid")
             obs_in = None
         else:
             # lazy: count invalids as an observed metric on the same pass

@@ -54,6 +54,11 @@ def map_blocks(raw: DataFrame) -> DataFrame:
 
 
 def _input_struct(v, i):
+    # value/type are NULL until spend-enrichment (J1) resolves them —
+    # except synthetic shielded inputs, which carry their own value
+    # (reference btc_service.py:162-187 sets input.value/input.type
+    # directly; domain/transaction.py:62-64 sums input values whether
+    # enriched or shielded).
     return F.struct(
         i.alias("index"),
         v["txid"].alias("spent_transaction_hash"),
@@ -62,6 +67,8 @@ def _input_struct(v, i):
         v["scriptSig"]["hex"].alias("script_hex"),
         v["sequence"].alias("sequence"),
         v["coinbase"].isNotNull().alias("is_coinbase"),
+        F.lit(None).cast("long").alias("value"),
+        F.lit(None).cast("string").alias("type"),
     )
 
 
@@ -191,10 +198,13 @@ def enrich_inputs(inputs: DataFrame, outputs: DataFrame) -> DataFrame:
         & (inputs.spent_output_index == o._o_idx),
         "left",
     )
+    # coalesce keeps values the input already carries (shielded inputs
+    # have value/type with no spend to resolve — reference
+    # btc_service.py:178-182)
     return (
-        j.withColumn("value", F.col("_o_value"))
+        j.withColumn("value", F.coalesce(F.col("_o_value"), F.col("value")))
         .withColumn("addresses", F.col("_o_addresses"))
-        .withColumn("type", F.col("_o_type"))
+        .withColumn("type", F.coalesce(F.col("_o_type"), F.col("type")))
         .withColumn("required_signatures", F.col("_o_reqsigs"))
         .withColumn(
             "revision", F.when(F.col("_o_tx").isNull(), 0).otherwise(1)
@@ -217,6 +227,10 @@ def append_shielded_entries(
     vb = F.col(value_balance_col)
     next_in_idx = F.size("inputs")
     next_out_idx = F.size("outputs")
+    # reference parity (btc_service.py:178-187): shielded input carries
+    # value=value_balance and type='shielded'; shielded output carries
+    # value=-value_balance and type='shielded' with NO addresses (the
+    # reference leaves output.addresses unset — nothing is invented)
     shielded_in = F.struct(
         next_in_idx.alias("index"),
         F.lit(None).cast("string").alias("spent_transaction_hash"),
@@ -225,6 +239,8 @@ def append_shielded_entries(
         F.lit(None).cast("string").alias("script_hex"),
         F.lit(None).cast("long").alias("sequence"),
         F.lit(False).alias("is_coinbase"),
+        bitcoin_to_satoshi(vb).alias("value"),
+        F.lit("shielded").alias("type"),
     )
     shielded_out = F.struct(
         next_out_idx.alias("index"),
@@ -232,8 +248,8 @@ def append_shielded_entries(
         F.lit(None).cast("string").alias("script_hex"),
         F.lit(None).cast("int").alias("required_signatures"),
         F.lit("shielded").alias("type"),
-        F.array(F.lit("shielded")).alias("addresses"),
-        (-vb * 100_000_000).cast("long").alias("value"),
+        F.lit(None).cast("array<string>").alias("addresses"),
+        bitcoin_to_satoshi(-vb).alias("value"),
     )
     out = tx.withColumn(
         "inputs",

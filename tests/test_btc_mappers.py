@@ -107,6 +107,35 @@ def test_fee_conservation(chain):
     assert fees == {10_000}
 
 
+def test_shielded_value_reaches_fee(chain):
+    """Shielded input value participates in input_value/fee exactly like
+    the reference's calculate_input_value (domain/transaction.py:62-72):
+    appending +vb to a tx raises its fee by vb satoshi."""
+    from bitcoin_etl_spark.sources.mappers import append_shielded_entries
+    from bitcoin_etl_spark.sources.mappers import transaction_fees
+
+    tx = map_transactions(chain)
+    base = transaction_fees(
+        tx, enrich_inputs(explode_inputs(tx), explode_outputs(tx))
+    )
+    shv = append_shielded_entries(
+        tx.withColumn(
+            "value_balance",
+            F.when(~F.col("is_coinbase"), F.lit(0.5)).otherwise(F.lit(0.0)),
+        )
+    )
+    with_sh = transaction_fees(
+        shv, enrich_inputs(explode_inputs(shv), explode_outputs(shv))
+    )
+    b = {r["hash"]: r["fee"] for r in base.collect()}
+    s = {r["hash"]: r["fee"] for r in with_sh.collect()}
+    for h, fee in s.items():
+        expected = b[h] if fee == 0 and b[h] == 0 else b[h] + 50_000_000
+        assert fee in (b[h], expected)
+        if b[h] == 10_000:  # non-coinbase generator invariant
+            assert fee == b[h] + 50_000_000
+
+
 def test_shielded_synthesis(chain):
     """P7: value_balance → synthetic shielded input/output at next index."""
     from bitcoin_etl_spark.sources.mappers import append_shielded_entries
@@ -124,9 +153,14 @@ def test_shielded_synthesis(chain):
     r_new, r_old = plus.first(), base.first()
     assert r_new["input_count"] == r_old["input_count"] + 1
     assert r_new["inputs"][-1]["index"] == r_old["input_count"]
+    # shielded input carries its own value/type (btc_service.py:178-182)
+    assert r_new["inputs"][-1]["value"] == 50_000_000
+    assert r_new["inputs"][-1]["type"] == "shielded"
     minus = out.filter(F.col("value_balance") < 0).first()
     assert minus["outputs"][-1]["type"] == "shielded"
     assert minus["outputs"][-1]["value"] == 25_000_000
+    # reference leaves shielded output addresses unset — nothing invented
+    assert minus["outputs"][-1]["addresses"] is None
     untouched = out.filter(F.col("value_balance") == 0).first()
     base_untouched = tx.filter(F.col("value_balance") == 0).first()
     assert untouched["input_count"] == base_untouched["input_count"]
