@@ -42,3 +42,18 @@ def unix_ts_to_string(ts_seconds: Column) -> Column:
     return F.date_format(
         F.timestamp_seconds(ts_seconds), "yyyy-MM-dd HH:mm:ss"
     )
+
+
+def normalize_nonce(df, col: str = "nonce"):
+    """P9 hex normalization (reference ``mappers/block_mapper.py:100-109``
+    ``to_hex``): bitcoin and clones return an integer nonce, zcash a hex
+    string — normalize integers to lowercase hex (``format(val, 'x')``:
+    no leading zeros), pass strings through. The int/str variance is
+    schema-level in a DataFrame, so this dispatches on the column dtype
+    once at plan time."""
+    import pyspark.sql.types as T
+
+    dtype = df.schema[col].dataType
+    if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType)):
+        return df.withColumn(col, F.lower(F.hex(F.col(col))))
+    return df

@@ -76,29 +76,42 @@ class IcebergDocsTable:
         ]
 
     def evolve_sql(self, field: T.StructField) -> str:
+        # no IF NOT EXISTS: Spark's ALTER TABLE ADD COLUMNS has no column
+        # -level existence guard (a real-parser test caught the invalid
+        # syntax this used to emit) — callers check the table schema
+        # before evolving, as apply-side code already must
         return (
-            f"ALTER TABLE {self.name} ADD COLUMN IF NOT EXISTS "
-            f"{field.name} {_sql_type(field.dataType)}"
+            f"ALTER TABLE {self.name} ADD COLUMNS "
+            f"({field.name} {_sql_type(field.dataType)})"
         )
 
     # ----------------------------------------------------------- MERGE
     def merge_sql(self, source_view: str, payload_cols: list[str]) -> str:
+        """Tombstones are RETAINED rows (``_deleted = true``), exactly
+        like LakeTable's max-_rev semantics — never a physical DELETE.
+        A physical delete would let a later replay of an OLDER epoch
+        (the supported withheld-epoch patch-by-replay flow) hit the
+        NOT-MATCHED branch and resurrect a stale image of a deleted key;
+        with the tombstone retained, the stale upsert loses on
+        ``s._rev > t._rev``. Tombstones are purged only at compaction
+        (``purge_tombstones_sql``), once no older replays can arrive."""
         sets = ", ".join(
             [f"t.{c} = s.{c}" for c in payload_cols]
-            + ["t._rev = s._rev", "t._deleted = false"]
+            + ["t._rev = s._rev", "t._deleted = s._deleted"]
         )
         ins_cols = ", ".join([self.key, *payload_cols, "_rev", "_deleted"])
         ins_vals = ", ".join(
             [f"s.{self.key}", *[f"s.{c}" for c in payload_cols],
-             "s._rev", "false"]
+             "s._rev", "s._deleted"]
         )
         return (
             f"MERGE INTO {self.name} t USING {source_view} s "
             f"ON t.{self.key} = s.{self.key} "
             # last-writer-wins by revision; stale replays no-op
-            f"WHEN MATCHED AND s._rev > t._rev AND s._deleted THEN DELETE "
             f"WHEN MATCHED AND s._rev > t._rev THEN UPDATE SET {sets} "
-            f"WHEN NOT MATCHED AND NOT s._deleted THEN INSERT "
+            # inserts include tombstones: a delete arriving before any
+            # insert must still outrank later stale upserts
+            f"WHEN NOT MATCHED THEN INSERT "
             f"({ins_cols}) VALUES ({ins_vals})"
         )
 
@@ -122,6 +135,16 @@ class IcebergDocsTable:
         return (
             f"CALL {catalog}.system.rewrite_data_files(table => "
             f"'{self.name}', options => map('min-input-files','2'))"
+        )
+
+    def purge_tombstones_sql(self, min_retained_rev: int) -> str:
+        """Physically drop tombstones older than the replay horizon —
+        run at compaction time only (the C2 background-merge moment),
+        with ``min_retained_rev`` = the lowest ``_rev`` any future
+        replay could still carry."""
+        return (
+            f"DELETE FROM {self.name} "
+            f"WHERE _deleted AND _rev < {min_retained_rev}"
         )
 
     # ------------------------------------------------------- execution

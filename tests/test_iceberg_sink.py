@@ -28,20 +28,42 @@ def test_ddl_statements(spark):
     assert "cat.db.docs_ledger" in ddl[1]
     ev = t.evolve_sql(T.StructField("source_meta", T.StringType()))
     assert ev == (
-        "ALTER TABLE cat.db.docs ADD COLUMN IF NOT EXISTS "
-        "source_meta string"
+        "ALTER TABLE cat.db.docs ADD COLUMNS (source_meta string)"
     )
 
 
 def test_merge_statement_last_writer_wins(spark):
     t = IcebergDocsTable(spark, "cat.db.docs")
     sql = t.merge_sql("src", ["tokens", "n_tok", "source"])
-    # revision guard on BOTH matched branches (stale replays no-op)
-    assert sql.count("s._rev > t._rev") == 2
-    assert "AND s._deleted THEN DELETE" in sql
-    assert "WHEN NOT MATCHED AND NOT s._deleted THEN INSERT" in sql
+    # revision guard on the matched branch (stale replays no-op)
+    assert "s._rev > t._rev" in sql
+    # tombstones are retained rows, never physical DELETEs — a physical
+    # delete would let a replayed OLDER epoch resurrect a deleted key
+    assert "DELETE" not in sql
+    assert "t._deleted = s._deleted" in sql
+    assert "WHEN NOT MATCHED THEN INSERT" in sql
     assert "t.tokens = s.tokens" in sql
     assert "ON t.doc_id = s.doc_id" in sql
+    purge = t.purge_tombstones_sql(100)
+    assert purge == "DELETE FROM cat.db.docs WHERE _deleted AND _rev < 100"
+
+
+def test_statements_parse_with_spark_sql_parser(spark):
+    """Every generated statement (except Iceberg's CALL extension, which
+    needs the Iceberg parser) must survive Spark's real ANSI SQL parser —
+    the strongest offline check available without the runtime jar."""
+    t = IcebergDocsTable(spark, "cat.db.docs", n_buckets=32)
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    stmts = [
+        *t.create_sql(_payload()),
+        t.evolve_sql(T.StructField("source_meta", T.StringType())),
+        t.merge_sql("src", ["tokens", "n_tok", "source"]),
+        t.ledger_check_sql("p1", 7),
+        t.ledger_insert_sql("p1", 7, {"rows": 1}),
+        t.purge_tombstones_sql(100),
+    ]
+    for s in stmts:
+        parser.parsePlan(s)  # raises ParseException on bad syntax
 
 
 def test_ledger_statements(spark):
