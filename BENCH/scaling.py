@@ -25,7 +25,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SHM = "/dev/shm/spark_graft_bench"
 
 
-def run_once(cores: int, events: int, epochs: int = 4) -> dict:
+def run_once(cores: int, events: int, epochs: int = 4,
+             isolated: bool = False) -> dict:
     # tmpfs for input, table, and shuffle dirs: the sandbox's single
     # ~280 MB/s virtual disk otherwise caps every parallelism level at
     # the same IO ceiling (a cluster scales disks with executors, so
@@ -45,6 +46,18 @@ def run_once(cores: int, events: int, epochs: int = 4) -> dict:
         # GC-thrash a 16g heap and flatten core scaling
         SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"),
     )
+    if isolated:
+        # Process-isolated executors: one 1-core JVM per "executor" via
+        # Spark standalone local-cluster mode — removes the single-JVM
+        # compute ceiling that caps thread-mode scaling on this VM
+        # (BENCH/ENVIRONMENT.md: one JVM tops out ~2x from 8→32 threads;
+        # separate processes reach ~0.84 ceiling). Real shuffle transport
+        # (netty over localhost) included.
+        mem_mb = int(os.environ.get("SPARK_GRAFT_EXECUTOR_MEM_MB", "3072"))
+        env["SPARK_GRAFT_MASTER"] = f"local-cluster[{cores},1,{mem_mb}]"
+        env["SPARK_GRAFT_DRIVER_MEM"] = os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "8g"
+        )
     # Pin the whole JVM to (exec cores + constant driver allotment): in
     # local mode the driver/GC/shuffle threads otherwise run on FREE
     # extra vCPUs, inflating the small-N run. A real cluster's driver is
@@ -98,14 +111,22 @@ spark.stop()
 """
 
 
-def measure_ceiling(cores: int, driver_cpus: int = 2) -> float:
+def measure_ceiling(cores: int, driver_cpus: int = 2,
+                    isolated: bool = False) -> float:
     """Same-box pure-compute ceiling: pinned whole-stage-codegen
     range→sum. Establishes the max speedup ANY JVM job can show at this
-    parallelism on this VM (frequency scaling + vCPU behavior)."""
+    parallelism on this VM (frequency scaling + vCPU behavior). In
+    isolated mode the burn runs on the same local-cluster layout, so the
+    ceiling is the process-isolated one."""
     cmd = [sys.executable, "-c", _BURN.format(repo=REPO), str(cores)]
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["taskset", "-c", f"0-{cores + driver_cpus - 1}"] + cmd
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    env = dict(os.environ)
+    if isolated:
+        mem_mb = int(os.environ.get("SPARK_GRAFT_EXECUTOR_MEM_MB", "3072"))
+        env["SPARK_GRAFT_MASTER"] = f"local-cluster[{cores},1,{mem_mb}]"
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                         timeout=600)
     for line in out.stdout.splitlines():
         if line.startswith("CEIL"):
             return float(line.split()[1])
@@ -118,6 +139,11 @@ def main() -> None:
     ap.add_argument("--events", type=int, default=8_000_000)
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument(
+        "--isolated", action="store_true",
+        help="process-isolated executors (local-cluster[K,1,mem]: one "
+             "JVM per executor) instead of threads in one JVM",
+    )
     args = ap.parse_args()
     n, n4 = args.n, args.n * 4
 
@@ -126,21 +152,23 @@ def main() -> None:
     results: dict[int, dict | None] = {n: None, n4: None}
     for _ in range(args.repeat):
         for cores in (n, n4):
-            r = run_once(cores, args.events, args.epochs)
+            r = run_once(cores, args.events, args.epochs, args.isolated)
             best = results[cores]
             if best is None or (
                 r["cdc"]["events_per_sec"] > best["cdc"]["events_per_sec"]
             ):
                 results[cores] = r
 
-    ceil_n = measure_ceiling(n)
-    ceil_4n = measure_ceiling(n4)
+    ceil_n = measure_ceiling(n, isolated=args.isolated)
+    ceil_4n = measure_ceiling(n4, isolated=args.isolated)
     ceil_speedup = ceil_n / ceil_4n
     thr_n = results[n]["cdc"]["events_per_sec"]
     thr_4n = results[n4]["cdc"]["events_per_sec"]
     eff = (thr_4n / thr_n) / 4
     summary = {
         "events": args.events,
+        "mode": "process-isolated local-cluster[K,1]" if args.isolated
+                else "thread-mode local[K]",
         "N_cores": n,
         "4N_cores": n4,
         "events_per_sec_N": thr_n,
@@ -155,24 +183,33 @@ def main() -> None:
     }
     print(json.dumps(summary))
 
+    mode_desc = (
+        f"process-isolated executors (Spark standalone "
+        f"local-cluster[K,1,mem]: K separate 1-core executor JVMs + real "
+        f"netty shuffle — one \"executor\" per JVM, the closest sandbox "
+        f"analog of N cluster executors)"
+        if args.isolated
+        else "threads in one JVM (local[K])"
+    )
+    label = "local-cluster" if args.isolated else "local"
     md = f"""# BENCH/BASELINE.md — scaling evidence (sandbox protocol)
 
 Authoritative criterion (`BASELINE.json`): change-events/sec applied
 end-to-end, throughput scaling efficiency >= 0.8 from N to 4N executors.
 No real cluster in this sandbox, so per `BASELINE.md` the same CDC
 replay job ran on the same deterministic input (seed-fixed change log,
-Zipf(1.2) hot keys, one reorg) at two parallelism levels in separate
-JVMs pinned with taskset to (exec cores + 2 constant driver CPUs),
-`spark.sql.shuffle.partitions` = cores, tmpfs-backed storage (see
-BENCH/ENVIRONMENT.md for why: the guest kernel's write path collapses
-~8x above ~8 concurrent writers, and the single shared virtio disk caps
-any parallelism level at the same IO ceiling — neither exists on a real
-cluster where executors bring their own kernels and disks).
+Zipf(1.2) hot keys, one reorg) at two parallelism levels — executors
+modeled as {mode_desc} — pinned with taskset to (exec cores + 2 constant
+driver CPUs), `spark.sql.shuffle.partitions` = cores, tmpfs-backed
+storage (see BENCH/ENVIRONMENT.md for why: the guest kernel's write path
+collapses ~8x above ~8 concurrent writers, and the single shared virtio
+disk caps any parallelism level at the same IO ceiling — neither exists
+on a real cluster where executors bring their own kernels and disks).
 
 | parallelism | events | wall (apply+compact) s | events/sec |
 |---|---|---|---|
-| local[{n}]  | {args.events:,} | {results[n]['cdc']['total_sec']} | {thr_n:,.0f} |
-| local[{n4}] | {args.events:,} | {results[n4]['cdc']['total_sec']} | {thr_4n:,.0f} |
+| {label}[{n}]  | {args.events:,} | {results[n]['cdc']['total_sec']} | {thr_n:,.0f} |
+| {label}[{n4}] | {args.events:,} | {results[n4]['cdc']['total_sec']} | {thr_4n:,.0f} |
 
 **Scaling efficiency (N -> 4N) = ({thr_4n:,.0f} / {thr_n:,.0f}) / 4 =
 {eff:.3f}** (target >= 0.8: {"MET" if eff >= 0.8 else "NOT met"}).

@@ -115,6 +115,25 @@ def run_cdc_replay(spark, scen_dir: str, n_buckets: int) -> dict:
         glob.glob(f"{scen_dir}/changes/epoch=*"),
         key=lambda p: int(p.rsplit("=", 1)[1]),
     )
+    # Untimed warmup on a throwaway table: JIT/codegen/parquet-codec/Arrow
+    # first-use costs are one-time per JVM, not part of steady-state
+    # throughput (the authoritative 10^10-event replay target is
+    # steady-state); leaving them in the timed region biases the faster
+    # parallelism level downward in the scaling comparison.
+    wdir = tempfile.mkdtemp(prefix="cdc_bench_warm_", dir=WORK_DIR)
+    shutil.rmtree(wdir)
+    wtable = LakeTable.create(wdir, payload, n_buckets=n_buckets)
+    wapplier = EpochApplier(
+        wtable, pipeline_id="warm", pre_reduce=False, quarantine_mode="lazy"
+    )
+    wdf = (
+        spark.read.schema(CHANGES_SCHEMA).parquet(epoch_dirs[0])
+        .withColumn("epoch", F.lit(0).cast("long")).limit(100_000)
+    )
+    wapplier.apply_epoch(spark, wdf, 0)
+    wtable.compact(spark)
+    shutil.rmtree(wdir, ignore_errors=True)
+
     n_events = 0
     t0 = time.time()
     for d in epoch_dirs:

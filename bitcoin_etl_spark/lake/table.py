@@ -304,8 +304,10 @@ class LakeTable:
         return out.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
 
     # winners above this row estimate fall back to the shuffle plan
-    # (10M keys ≈ 400 MB broadcast — the practical driver-side budget)
-    _broadcast_winner_limit = 10_000_000
+    # (5M keys ≈ 200 MB broadcast — inside the default 1g driver-result
+    # / executor-broadcast budgets with 2x headroom; 10M was flagged as
+    # aggressive in round-1 review)
+    _broadcast_winner_limit = 5_000_000
 
     def read_bucket_files(
         self, spark: SparkSession, buckets: set[int]
@@ -331,9 +333,18 @@ class LakeTable:
         """
         out_dir = os.path.join(self._data_dir, subdir)
         if by_bucket:
+            # Writer-task cap: repartition to min(cap, n_buckets) tasks,
+            # each writing its buckets' dirs sequentially via partitionBy
+            # — same per-bucket file layout (pruning unaffected), bounded
+            # concurrent writers. n_buckets concurrent single-file writer
+            # tasks anti-scale on kernels whose write path degrades past
+            # ~8 concurrent writers (this sandbox — BENCH/ENVIRONMENT.md);
+            # on a real cluster writers spread across nodes, so set
+            # SPARK_GRAFT_MAX_WRITERS to executor count or higher.
+            cap = int(os.environ.get("SPARK_GRAFT_MAX_WRITERS", "8"))
             (
                 df.withColumn(BUCKET_COL, self._bucket_expr())
-                .repartition(self.n_buckets, BUCKET_COL)
+                .repartition(min(cap, self.n_buckets), BUCKET_COL)
                 .write.partitionBy(BUCKET_COL)
                 .mode("errorifexists")
                 .parquet(out_dir)

@@ -110,18 +110,25 @@ def ivf_assign(df: DataFrame, centroids: DataFrame,
     centroid. Centroid set is small → broadcast; the assignment is a
     narrow map over the data (K cosines per row), and downstream
     candidate search becomes an equi-join on centroid_id — the
-    inverted-file property that caps shuffle at O(n), never O(n²)."""
-    from pyspark.sql import Window as W
+    inverted-file property that caps shuffle at O(n), never O(n²).
 
+    The argmax is a map-side-partial ``max_by`` aggregate (ties broken
+    toward the LOWER centroid_id via a (cos, -id) sort key), not a
+    per-key window: the n×K scored rows collapse to n on the map side
+    before the one hash shuffle, instead of shuffling all n×K rows into
+    window partitions."""
     j = df.crossJoin(F.broadcast(centroids))
     scored = j.select(
         id_col, vec_col, cent_id,
         cosine(_dbl(F.col(vec_col)), _dbl(F.col(cent_vec))).alias("_cos"),
     )
-    w = W.partitionBy(id_col).orderBy(F.desc("_cos"), F.asc(cent_id))
+    best = F.max_by(
+        F.col(cent_id),
+        F.struct(F.col("_cos"), (-F.col(cent_id)).alias("_nid")),
+    )
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        scored.groupBy(id_col, vec_col)
+        .agg(best.alias(cent_id))
         .select(id_col, vec_col, cent_id)
     )
 

@@ -1498,3 +1498,96 @@ def ann_embedding_near_dup(spark, sf_dir):
 
 
 ORACLES["ann_embedding_near_dup"] = _embedding_near_dup_sql()
+
+
+@_q(
+    "kafka_codec_roundtrip",
+    """
+    SELECT event_type,
+           count(*) AS cnt,
+           count(DISTINCT 'event_' || CAST(event_id AS VARCHAR)) AS n_ids
+    FROM events GROUP BY event_type
+    """,
+)
+def kafka_codec_roundtrip(spark, sf_dir):
+    """S8/S14 codec: events → item rows (P13 item_id) → Kafka frames
+    (to_json value, item_id key, per-type topic) → decoded back with
+    from_json → aggregate. The oracle is plain SQL over the source
+    table, so any encode/decode loss fails the hash — the broker-free
+    proof that the wire format round-trips (reference
+    kafka_exporter.py:38 json.dumps / ClickHouse JSONEachRow consumer)."""
+    from ..sources.kafka import decode_frames, encode_frames
+
+    ev = load(spark, sf_dir, "events")
+    items = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "props",
+        F.concat(F.lit("event_"), F.col("event_id").cast("string"))
+        .alias("item_id"),
+    )
+    frames = encode_frames(items, "transaction")
+    back = decode_frames(frames, items.schema)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct("item_id").alias("n_ids"),
+    )
+
+
+@_q(
+    "convert_list_fields",
+    """
+    WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+               FROM documents)
+    SELECT lang,
+           count(*) AS n_docs,
+           count(DISTINCT ws[1]) AS n_first,
+           count(DISTINCT ws[2]) AS n_second
+    FROM w GROUP BY lang
+    """,
+)
+def convert_list_fields(spark, sf_dir):
+    """P12 list→indexed-fields converter as a driver-checked query:
+    tokens array → field_0/field_1 scalar columns via
+    functions.converters.list_to_fields (reference
+    list_field_item_converter.py:34-56), then aggregated per lang."""
+    from ..functions.converters import list_to_fields
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("ws")
+    )
+    wide = list_to_fields(toks, "ws", "field_", 2)
+    return wide.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("field_0").alias("n_first"),
+        F.countDistinct("field_1").alias("n_second"),
+    )
+
+
+@_q(
+    "text_token_counts",
+    """
+    SELECT lang,
+           CAST(sum(length(string_split(text, ' '))) AS BIGINT) AS n_ws_tok,
+           CAST(sum(length(list_filter(string_split_regex(text, '[^\\w]+'),
+                                       t -> t <> ''))) AS BIGINT) AS n_bpe_tok
+    FROM documents GROUP BY lang
+    """,
+)
+def text_token_counts(spark, sf_dir):
+    """Token counting two ways (training-data op): whitespace tokens and
+    a BPE-ish boundary split (word/number runs, ops.text.BPE_ISH_RE) —
+    the cheap stand-in for a real BPE pass, entirely codegen'd."""
+    from ..ops.text import BPE_ISH_RE
+
+    docs = load(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    bpe = F.filter(
+        F.split(F.col("text"), BPE_ISH_RE), lambda t: t != ""
+    )
+    return docs.groupBy("lang").agg(
+        F.sum(F.size(ws)).alias("n_ws_tok"),
+        F.sum(F.size(bpe)).alias("n_bpe_tok"),
+    )

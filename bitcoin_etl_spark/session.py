@@ -31,8 +31,13 @@ def get_spark(
     """
     cores = cores or default_parallelism()
     shuffle_partitions = shuffle_partitions or cores
+    # SPARK_GRAFT_MASTER overrides the master URL — used by the scaling
+    # harness to run the SAME job on process-isolated executors
+    # (local-cluster[K,cores,mem]: one JVM per executor, real shuffle
+    # transport) instead of threads in one JVM.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
     b = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
