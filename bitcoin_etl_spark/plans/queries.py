@@ -1035,13 +1035,20 @@ def ann_bucket_stats(spark, sf_dir):
 def cdc_existence_probe(spark, sf_dir):
     """O4: LIMIT-1 existence probes (reference
     ``pipelines/block_sync_pipeline.py:504-513`` — `LIMIT 1` checks
-    before processing a block). limit(1) short-circuits the scan."""
+    before processing a block). ONE lazy plan, no driver actions: each
+    probe is filter→limit(1)→count, planned as a short-circuiting
+    CollectLimit (the scan stops at the first hit), cross-joined into a
+    single 1-row result."""
     o = load(spark, sf_dir, "orders")
-    p = o.filter(F.col("o_orderstatus") == "P").limit(1).count()
-    x = o.filter(F.col("o_orderstatus") == "X").limit(1).count()
-    return spark.createDataFrame(
-        [(int(p), int(x))], "has_pending long, has_unknown long"
-    )
+
+    def probe(status, alias):
+        return (
+            o.filter(F.col("o_orderstatus") == status)
+            .limit(1)
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    return probe("P", "has_pending").crossJoin(probe("X", "has_unknown"))
 
 
 @_q(
@@ -1590,4 +1597,103 @@ def text_token_counts(spark, sf_dir):
     return docs.groupBy("lang").agg(
         F.sum(F.size(ws)).alias("n_ws_tok"),
         F.sum(F.size(bpe)).alias("n_bpe_tok"),
+    )
+
+
+@_q(
+    "q7_nation_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+        OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape — the same dimension (nation) joined TWICE under
+    different roles with a disjunctive cross-filter; exercises
+    self-join aliasing and Catalyst's broadcast of both copies."""
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(n1, s.s_nationkey == F.col("n1_key"))
+        .join(n2, c.c_nationkey == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY"))
+            | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation",
+        F.year("l_shipdate").alias("l_year"),
+    ).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+        ).cast("double").alias("revenue")
+    )
+
+
+@_q(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape — selective fact filter + 4-way join + top-N by
+    aggregate: the orderBy+limit plans as TakeOrderedAndProject (the
+    same distributed top-k shape as the ANN queries — never a global
+    window)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    j = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
     )
