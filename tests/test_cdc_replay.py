@@ -232,3 +232,27 @@ def test_time_travel_and_snapshots(spark, tmp_path):
     early = table.read_raw(spark, version=1).count()
     late = table.read_raw(spark).count()
     assert early <= late
+
+
+def test_salted_reduce_matches_unsalted(spark, tmp_path):
+    """SURVEY §4 skew tool: the explicit two-phase salted last-event-wins
+    is exactly equivalent to the plain partial-agg form on a Zipf-hot
+    change log (max_by is algebraic, so phase composition is exact)."""
+    from bitcoin_etl_spark.operators.reduce import (
+        last_event_wins,
+        salted_last_event_wins,
+    )
+
+    scen = str(tmp_path / "skew")
+    generate_scenario(
+        scen,
+        ChangeLogSpec(n_epochs=2, events_per_epoch=4000, n_keys=300,
+                      zipf_a=1.3, seed=11),
+        oracle=False,
+    )
+    ch = _read_changes(spark, scen)
+    a = last_event_wins(ch)
+    b = salted_last_event_wins(ch, n_salts=8)
+    ka = sorted(tuple(r) for r in a.select("doc_id", "seq", "op").collect())
+    kb = sorted(tuple(r) for r in b.select("doc_id", "seq", "op").collect())
+    assert ka == kb and len(ka) > 0
