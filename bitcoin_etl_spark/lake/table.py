@@ -473,31 +473,96 @@ class LakeTable:
         return {"skipped": False, "epoch": epoch_id, "rows": rows,
                 "version": nm["version"]}
 
-    def compact(self, spark: SparkSession) -> dict:
-        """Fold deltas into unique-per-key, hash-bucketed base files —
-        the ``OPTIMIZE TABLE … FINAL`` analog. Keeps tombstones OUT of the
-        base (fully merged). Old files are dropped from the manifest (and
-        garbage-collectable); ledger is preserved."""
+    def compact_deltas(self, spark: SparkSession) -> dict:
+        """MINOR compaction: fold the UNBUCKETED delta files (narrow
+        epoch appends) into hash-bucketed delta files — every row
+        version kept, no merge, one capped-writer repartition pass.
+        After this, every file carries a bucket id, which is what makes
+        bucket-subset major compaction possible: a bucket's rows then
+        live ONLY in that bucket's files. This is the LSM L0→L1 fold;
+        at 10^10-event scale it runs continuously on recent epochs while
+        major compaction visits each bucket on its own cadence."""
         m = self.manifest()
-        if all(f.get("kind") == "base" for f in m["files"]) and m["files"]:
+        todo = [f for f in m["files"] if f.get("bucket") is None]
+        if not todo:
+            return {"compacted": False, "reason": "no-unbucketed-files"}
+        df = self._read_files(spark, todo, self.schema())
+        sub = f"deltab-v{m['version'] + 1}-{uuid.uuid4().hex[:8]}"
+        entries = self._write_data(df, sub, by_bucket=True)
+        for e in entries:
+            e["kind"] = "delta"
+        self._count_rows(entries, self.path)
+        nm = self._next_manifest("compact-minor")
+        drop = {f["path"] for f in todo}
+        nm["files"] = [
+            f for f in nm["files"] if f["path"] not in drop
+        ] + entries
+        self._publish(nm)
+        return {
+            "compacted": True,
+            "version": nm["version"],
+            "bucketed_files": len(entries),
+            "replaced_files": len(drop),
+        }
+
+    def compact(self, spark: SparkSession,
+                buckets: set[int] | None = None) -> dict:
+        """Fold deltas into unique-per-key, hash-bucketed base files —
+        the ``OPTIMIZE TABLE … FINAL`` analog. Keeps tombstones OUT of
+        the base (fully merged — safe because the exactly-once ledger
+        prevents committed epochs from replaying). Old files are dropped
+        from the manifest (garbage-collectable); ledger is preserved.
+
+        ``buckets=None`` rewrites the whole table. ``buckets={...}``
+        is MAJOR compaction of a bucket subset: only those buckets'
+        files are read and rewritten — the incremental form a 100 TB
+        table needs (never a full rewrite; each bucket compacts on its
+        own schedule). Unbucketed deltas are folded first
+        (``compact_deltas``) so the subset's rows are self-contained."""
+        if buckets is not None:
+            self.compact_deltas(spark)
+        m = self.manifest()
+        if buckets is None:
+            target = list(m["files"])
+        else:
+            target = [f for f in m["files"] if f["bucket"] in buckets]
+        if not target:
+            return {"compacted": False, "reason": "no-files"}
+        if all(f.get("kind") == "base" for f in target):
             return {"compacted": False, "reason": "already-base"}
-        final = self.read_final(spark).withColumn(DELETED_COL, F.lit(False))
-        final = self._align(final, self.schema())
+        schema = self.schema()
+        if buckets is None:
+            final = self.read_final(spark)
+        else:
+            df = self._read_files(spark, target, schema)
+            payload = [f.name for f in schema.fields if f.name != self.key]
+            agg = df.groupBy(self.key).agg(
+                F.max_by(F.struct(*payload), F.col(REV_COL)).alias("_latest")
+            )
+            final = agg.select(self.key, "_latest.*").filter(
+                ~F.col(DELETED_COL)
+            ).drop(DELETED_COL)
+        final = self._align(
+            final.withColumn(DELETED_COL, F.lit(False)), schema
+        )
         sub = f"base-v{m['version'] + 1}-{uuid.uuid4().hex[:8]}"
         entries = self._write_data(final, sub, by_bucket=True)
         for e in entries:
             e["kind"] = "base"
         self._count_rows(entries, self.path)
-        nm = self._next_manifest("compact")
-        old = [f["path"] for f in nm["files"]]
-        nm["files"] = entries
+        nm = self._next_manifest(
+            "compact" if buckets is None else "compact-buckets"
+        )
+        drop = {f["path"] for f in target}
+        kept = [f for f in nm["files"] if f["path"] not in drop]
+        nm["files"] = kept + entries if buckets is not None else entries
         self._publish(nm)
         return {
             "compacted": True,
             "version": nm["version"],
             "base_files": len(entries),
             "rows": sum(e["rows"] for e in entries),
-            "replaced_files": len(old),
+            "replaced_files": len(drop),
         }
 
     def vacuum(self, keep_versions: int = 2) -> int:

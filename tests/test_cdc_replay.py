@@ -256,3 +256,45 @@ def test_salted_reduce_matches_unsalted(spark, tmp_path):
     ka = sorted(tuple(r) for r in a.select("doc_id", "seq", "op").collect())
     kb = sorted(tuple(r) for r in b.select("doc_id", "seq", "op").collect())
     assert ka == kb and len(ka) > 0
+
+
+def test_incremental_compaction(spark, tmp_path):
+    """Minor (L0→L1 fold) + bucket-subset major compaction preserve the
+    exact final state at every step — the incremental OPTIMIZE path a
+    100 TB table needs instead of full rewrites."""
+    scen_dir = str(tmp_path / "scen")
+    generate_scenario(scen_dir, SCENARIOS["upsert_mix"])
+    # narrow appends → unbucketed delta files
+    table, applier, _ = _replay(
+        spark, scen_dir, str(tmp_path / "t"), pre_reduce=False
+    )
+    assert any(f["bucket"] is None for f in table.manifest()["files"])
+
+    res = table.compact_deltas(spark)
+    assert res["compacted"]
+    m = table.manifest()
+    assert all(f["bucket"] is not None for f in m["files"])
+    assert all(f["kind"] == "delta" for f in m["files"])
+    _assert_matches_oracle(spark, table, scen_dir)
+
+    # major-compact half the buckets: mixed base/delta manifest
+    half = set(range(table.n_buckets // 2))
+    res = table.compact(spark, buckets=half)
+    assert res["compacted"]
+    m = table.manifest()
+    kinds = {f["kind"] for f in m["files"]}
+    assert kinds == {"base", "delta"}
+    assert all(
+        f["kind"] == "base" for f in m["files"] if f["bucket"] in half
+    )
+    _assert_matches_oracle(spark, table, scen_dir)
+
+    # compact the remaining buckets → fully base, fast path
+    rest = set(range(table.n_buckets)) - half
+    res = table.compact(spark, buckets=rest)
+    assert res["compacted"]
+    assert all(f["kind"] == "base" for f in table.manifest()["files"])
+    _assert_matches_oracle(spark, table, scen_dir)
+
+    # idempotent: nothing left to do
+    assert table.compact(spark, buckets=half)["compacted"] is False
