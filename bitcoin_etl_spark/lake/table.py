@@ -279,6 +279,31 @@ class LakeTable:
         if all(f.get("kind") == "base" for f in files):
             df = self._read_files(spark, files, schema)
             return df.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
+        # bucket-pruned dedup after PARTIAL compaction: buckets whose
+        # files are all base are already unique-per-key — read them
+        # straight and pay the dedup aggregate only for the buckets that
+        # still carry deltas. Merge-on-read cost stays proportional to
+        # the uncompacted fraction, not the table. (Any unbucketed file
+        # forces the global path: its rows span every bucket.)
+        if all(f.get("bucket") is not None for f in files):
+            delta_buckets = {
+                f["bucket"] for f in files if f.get("kind") != "base"
+            }
+            clean = [
+                f for f in files
+                if f["kind"] == "base" and f["bucket"] not in delta_buckets
+            ]
+            dirty = [f for f in files if f["bucket"] in delta_buckets]
+            if clean and dirty:
+                base_part = self._read_files(spark, clean, schema).filter(
+                    ~F.col(DELETED_COL)
+                ).drop(DELETED_COL)
+                merged = self._dedup_final(spark, dirty, schema, strategy)
+                return base_part.unionByName(merged)
+        return self._dedup_final(spark, files, schema, strategy)
+
+    def _dedup_final(self, spark: SparkSession, files: list[dict],
+                     schema: T.StructType, strategy: str) -> DataFrame:
         df = self._read_files(spark, files, schema)
         if strategy == "auto":
             # base rows are unique-per-key lower bound; delta rows upper

@@ -99,3 +99,30 @@ def running_revision_counts(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ingest_ts",
+    watermark: str = "10 minutes",
+    within_watermark: bool = False,
+) -> DataFrame:
+    """Streaming exact dedup: keep the first event per key, dropping
+    at-least-once re-deliveries (the stream-side twin of the ledger's
+    exactly-once and of batch ``dedup_exact`` — a training-data pipeline
+    ingesting a document stream runs this before anything else).
+
+    State is bounded by the watermark: ``dropDuplicatesWithinWatermark``
+    expires a key's dedup state once the watermark passes its event
+    time, so state size is O(keys per watermark window), not O(all keys
+    ever) — the property that keeps this runnable forever at 100 TB.
+    ``within_watermark=False`` uses plain ``dropDuplicates`` (exact
+    global dedup, state grows with distinct keys — only for bounded key
+    domains). Works identically on a batch DataFrame (same plan, minus
+    state)."""
+    keys = keys or ["doc_id", "seq"]
+    out = stream.withWatermark(ts_col, watermark)
+    if within_watermark:
+        return out.dropDuplicatesWithinWatermark(keys)
+    return out.dropDuplicates(keys)

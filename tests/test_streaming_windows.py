@@ -88,3 +88,51 @@ def test_running_revision_counts_across_batches(spark, tmp_path):
     assert bad == 0
     assert latest.count() == expected.count()
     spark.catalog.dropTempView("rev_counts")
+
+
+def test_stream_dedup_drops_redelivery(spark, tmp_path):
+    """dedup_stream over a file-source stream: a re-delivered (copied)
+    epoch file yields no extra rows downstream."""
+    import glob
+    import shutil
+
+    from bitcoin_etl_spark.changelog import ChangeLogSpec, generate_scenario
+    from bitcoin_etl_spark.schemas import CHANGES_SCHEMA
+    from bitcoin_etl_spark.streaming.tail import _with_epoch
+    from bitcoin_etl_spark.streaming.windows import dedup_stream
+
+    scen = str(tmp_path / "scen")
+    generate_scenario(
+        scen, ChangeLogSpec(n_epochs=2, events_per_epoch=300, n_keys=200,
+                            seed=3), oracle=False,
+    )
+    src = str(tmp_path / "src")
+    shutil.copytree(f"{scen}/changes", src)
+    # re-deliver epoch 0's files under a new epoch dir (at-least-once)
+    e0 = sorted(glob.glob(f"{src}/epoch=0/*.parquet"))
+    shutil.os.makedirs(f"{src}/epoch=99")
+    for f in e0:
+        shutil.copy(f, f"{src}/epoch=99/")
+
+    stream = (
+        spark.readStream.schema(_with_epoch(CHANGES_SCHEMA))
+        .option("basePath", src).parquet(src)
+    )
+    deduped = dedup_stream(stream, keys=["doc_id", "seq"])
+    out_rows = []
+    q = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: out_rows.extend(
+            df.select("doc_id", "seq").collect()
+        ))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    total = spark.read.schema(_with_epoch(CHANGES_SCHEMA)).option(
+        "basePath", src
+    ).parquet(src).count()
+    distinct = len({(r["doc_id"], r["seq"]) for r in out_rows})
+    assert len(out_rows) == distinct  # no duplicate survived
+    assert total > distinct           # re-delivery actually created dups
