@@ -30,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bitcoin_etl_spark.session import get_spark  # noqa: E402
 
 HEADLINE_QUERIES = [
+    # round-1 set (kept stable for cross-round comparability)
     "cdc_replay_last_wins",
     "cdc_enrich_join",
     "cdc_gap_detect",
@@ -40,6 +41,11 @@ HEADLINE_QUERIES = [
     "explode_tokens_stats",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    # round-2 additions
+    "q10_returned_items",
+    "dedup_simhash_hamming",
+    "kafka_codec_roundtrip",
+    "text_token_counts",
 ]
 
 CACHE_ROOT = os.environ.get(

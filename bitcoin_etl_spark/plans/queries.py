@@ -1466,11 +1466,20 @@ def _embedding_near_dup_sql(dim: int = 64, n_planes: int = 8,
         expr = " + ".join(bits)
         tables.append(
             f"SELECT vec_id, embedding, {t} AS tab, ({expr}) AS bucket "
-            f"FROM embeddings"
+            f"FROM emb_aug"
         )
     banded = "\n      UNION ALL\n      ".join(tables)
+    # emb_aug plants ground-truth near-dups: every 10th vector appears
+    # again under vec_id+1e6 (cosine exactly 1.0) — the testdata has no
+    # natural >=0.95 pairs, and a 0-row result would check nothing
     return f"""
-    WITH banded AS (
+    WITH emb_aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    banded AS (
       {banded}
     ),
     cand AS (
@@ -1494,12 +1503,19 @@ def ann_embedding_near_dup(spark, sf_dir):
     bucket) — O(n × tables) shuffle, never all-pairs), verified by exact
     cosine ≥ 0.95. Oracle is generated SQL with the identical
     deterministic hyperplane literals; the pair set (not the float
-    score) is the checked output."""
+    score) is the checked output. Ground-truth near-dups are PLANTED —
+    every 10th vector re-appears under vec_id+1e6 (cos exactly 1.0) —
+    because the testdata has no natural ≥0.95 pairs and an empty result
+    would check nothing; the planted set must be recovered exactly."""
     from ..ops.similarity import embedding_near_dup_pairs
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
     pairs = embedding_near_dup_pairs(
-        emb, dim=64, n_planes=8, min_cosine=0.95, n_tables=2
+        emb.unionByName(clones), dim=64, n_planes=8,
+        min_cosine=0.95, n_tables=2,
     )
     return pairs.select("id_a", "id_b")
 
@@ -1614,15 +1630,16 @@ def text_token_counts(spark, sf_dir):
     JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
     JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-    WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-        OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
     GROUP BY 1, 2, 3
     """,
 )
 def q7_nation_volume(spark, sf_dir):
     """TPC-H Q7 shape — the same dimension (nation) joined TWICE under
-    different roles with a disjunctive cross-filter; exercises
-    self-join aliasing and Catalyst's broadcast of both copies."""
+    different roles with a disjunctive cross-filter (nation names from
+    the synthetic testdata); exercises self-join aliasing and Catalyst's
+    broadcast of both copies."""
     s = load(spark, sf_dir, "supplier")
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
@@ -1640,8 +1657,8 @@ def q7_nation_volume(spark, sf_dir):
         .join(n1, s.s_nationkey == F.col("n1_key"))
         .join(n2, c.c_nationkey == F.col("n2_key"))
         .filter(
-            ((F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY"))
-            | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
         )
     )
     return j.groupBy(
