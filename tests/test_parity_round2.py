@@ -179,3 +179,66 @@ def test_graphson_block_vertices(spark, chain):
         },
     }
     assert doc == expected
+
+
+def test_graph_projection_and_ngql(spark, chain):
+    """S15/J8: Nebula-model graph projections + idempotent nGQL upsert
+    statement stream (reference nebula/schema:1-49), offline golden."""
+    from bitcoin_etl_spark.jobs.graph import (
+        address_vertices_df,
+        belongs_to_edges,
+        block_vertices_df,
+        chain_to_edges,
+        coinbase_edges,
+        lock_to_edges,
+        ngql_edge_statements,
+        ngql_vertex_statements,
+        output_vertices_df,
+        pay_to_edges,
+        spent_by_edges,
+    )
+    from bitcoin_etl_spark.sources.mappers import (
+        enrich_inputs, explode_inputs, explode_outputs,
+    )
+
+    blocks = map_blocks(chain)
+    tx = map_transactions(chain)
+    outs = explode_outputs(tx)
+    ins = enrich_inputs(explode_inputs(tx), outs)
+
+    n_blocks, n_tx = blocks.count(), tx.count()
+    assert block_vertices_df(blocks).count() == n_blocks
+    assert transaction_count_ok(tx, belongs_to_edges(tx), n_tx)
+    assert chain_to_edges(blocks).count() == n_blocks - 1  # genesis has none
+    assert coinbase_edges(tx).count() == n_blocks  # one coinbase per block
+    assert output_vertices_df(outs).count() == outs.count()
+    assert lock_to_edges(outs).count() == outs.count()
+    # every resolved spend is one spent_by edge
+    assert spent_by_edges(ins).count() == ins.filter(
+        F.col("spent_transaction_hash").isNotNull()
+    ).count()
+    assert pay_to_edges(outs).count() >= outs.count()  # >=1 address each
+    assert address_vertices_df(outs).count() > 0
+
+    # golden statement shapes
+    v = ngql_vertex_statements(
+        block_vertices_df(blocks),
+        "block",
+        {"block_number": "long", "block_timestamp": "datetime",
+         "previous_block_hash": "string"},
+    ).first()["stmt"]
+    assert v.startswith(
+        'INSERT VERTEX block(block_number, block_timestamp, '
+        'previous_block_hash) VALUES "'
+    ) and v.endswith(");") and 'datetime("' in v
+    e = ngql_edge_statements(
+        spent_by_edges(ins), "spent_by", {"spent_input_index": "long"}
+    ).first()["stmt"]
+    assert e.startswith('INSERT EDGE spent_by(spent_input_index) VALUES "')
+    assert '"->"' in e and e.endswith(");")
+    e0 = ngql_edge_statements(belongs_to_edges(tx), "belongs_to").first()["stmt"]
+    assert "belongs_to() VALUES" in e0 and e0.endswith(":();")
+
+
+def transaction_count_ok(tx, edges, n_tx):
+    return edges.count() == n_tx
