@@ -242,3 +242,39 @@ def test_graph_projection_and_ngql(spark, chain):
 
 def transaction_count_ok(tx, edges, n_tx):
     return edges.count() == n_tx
+
+
+def test_jdbc_sink_offline(spark, chain):
+    """S10: JDBC sink option builder + ON CONFLICT upsert statement +
+    missing-driver gate (no server in sandbox)."""
+    from bitcoin_etl_spark.jobs.jdbc import (
+        export_items_jdbc,
+        insert_on_conflict_sql,
+        jdbc_available,
+        jdbc_options,
+    )
+
+    assert jdbc_available(spark) is False
+    o = jdbc_options("jdbc:postgresql://h/db", "blocks", user="u",
+                     batch_size=5000, num_partitions=8)
+    assert o["dbtable"] == "blocks" and o["batchsize"] == "5000"
+    assert o["numPartitions"] == "8"
+    sql = insert_on_conflict_sql(
+        "blocks", ["hash", "number", "size"], key="hash"
+    )
+    assert sql == (
+        "INSERT INTO blocks (hash, number, size) VALUES (%s, %s, %s) "
+        "ON CONFLICT (hash) DO UPDATE SET number = EXCLUDED.number, "
+        "size = EXCLUDED.size"
+    )
+    assert insert_on_conflict_sql("t", ["k"], key="k", update=False).endswith(
+        "DO NOTHING"
+    )
+    tx = map_transactions(chain)
+    with pytest.raises(RuntimeError):
+        export_items_jdbc(
+            {"transaction": tx}, "jdbc:postgresql://h/db",
+            {"transaction": "transactions"},
+        )
+    with pytest.raises(KeyError):
+        export_items_jdbc({"x": tx}, "jdbc:postgresql://h/db", {})
