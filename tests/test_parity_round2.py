@@ -278,3 +278,21 @@ def test_jdbc_sink_offline(spark, chain):
         )
     with pytest.raises(KeyError):
         export_items_jdbc({"x": tx}, "jdbc:postgresql://h/db", {})
+
+
+def test_pubsub_message_frames(spark, chain):
+    """S9: Pub/Sub message shape — JSON data + item_id attribute +
+    per-type topic (reference google_pubsub_item_exporter wiring)."""
+    from bitcoin_etl_spark.sources.pubsub import encode_messages, topic_for
+
+    assert topic_for("projects/p/topics/crypto_bitcoin", "block") == (
+        "projects/p/topics/crypto_bitcoin.blocks"
+    )
+    tx = map_transactions(chain).select("hash", "block_number", "item_id")
+    msgs = encode_messages(tx, "transaction", "projects/p/topics/btc")
+    assert msgs.columns == ["data", "attributes", "topic"]
+    r = msgs.first()
+    assert r["topic"] == "projects/p/topics/btc.transactions"
+    body = json.loads(bytes(r["data"]))
+    assert r["attributes"]["item_id"] == body["item_id"]
+    assert msgs.count() == tx.count()
