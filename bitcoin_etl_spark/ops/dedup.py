@@ -238,3 +238,71 @@ def _ratio_ints(x: float, max_den: int = 1000) -> tuple[int, int]:
 
     fr = Fraction(x).limit_denominator(max_den)
     return fr.numerator, fr.denominator
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Connected components over near-dup candidate pairs → per-doc
+    canonical (minimum) member id: the cluster-canonicalization step a
+    dedup pipeline runs AFTER pair generation (keep one doc per
+    component, drop the rest).
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(component diameter) rounds — near-dup components are tiny cliques
+    (diameter ≤ 2-3), so this terminates in a handful of rounds. Each
+    round is one equi-join + partial-agg shuffle over the EDGE list
+    (O(edges), never all-pairs), and the driver checks a single
+    convergence count per round — no row data is collected.
+    ``localCheckpoint`` truncates the growing lineage so round N's plan
+    does not replay rounds 0..N-1."""
+    sym = pairs.select(
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    ).unionByName(
+        pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nl"))
+        )
+        new = (
+            labels.join(neigh, labels.node == neigh.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+                ).alias("label"),
+                (F.col("nl") < F.col("label")).alias("_chg"),
+            )
+        )
+        new = new.localCheckpoint(eager=True)
+        changed = new.filter(F.col("_chg")).limit(1).count()
+        labels = new.drop("_chg")
+        if not changed:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_keep_policy(df: DataFrame, pairs: DataFrame,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Keep-one-per-component dedup decision: docs in no pair keep
+    themselves; within a component only the minimum id survives.
+    Returns (id, component, keep)."""
+    cc = connected_components(pairs)
+    return (
+        df.select(F.col(id_col).alias("node"))
+        .join(cc, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("component", F.col("node")).alias("component"),
+            (F.coalesce("component", F.col("node")) == F.col("node"))
+            .alias("keep"),
+        )
+    )

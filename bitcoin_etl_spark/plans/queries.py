@@ -1714,3 +1714,54 @@ def q10_returned_items(spark, sf_dir):
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+def _components_oracle_sql() -> str:
+    """Recursive-CTE oracle for connected components over the SAME
+    banded-LSH pairs as dedup_lsh_banded: reach(node,label) = labels
+    reachable over symmetric edges, component = min reachable label;
+    docs in no pair keep themselves."""
+    pairs_sql = _minhash_banded_sql()
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    cc AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           coalesce(cc.component, d.doc_id) AS component,
+           coalesce(cc.component, d.doc_id) = d.doc_id AS keep
+    FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+    """
+
+
+@_q("dedup_components", None)
+def dedup_components(spark, sf_dir):
+    """Dedup cluster canonicalization (the step AFTER pair generation in
+    a training-data pipeline): connected components over banded
+    MinHash-LSH candidate pairs via iterative min-label propagation
+    (O(edges) equi-join + partial-agg per round, converges in component-
+    diameter rounds), then keep-one-per-component. Oracle recomputes the
+    identical pairs and closes them with a recursive CTE — the Spark
+    iteration must reach the exact fixpoint."""
+    from ..ops.dedup import (
+        dedup_keep_policy,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, n_hashes=16)
+    pairs = lsh_candidate_pairs(sig, n_hashes=16, bands=4)
+    return dedup_keep_policy(docs, pairs)
+
+
+ORACLES["dedup_components"] = _components_oracle_sql()

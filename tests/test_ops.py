@@ -130,3 +130,16 @@ def test_multimodal_feature_extraction(spark):
     again = {r["media_id"]: r["features"] for r in extract_features(media).collect()}
     for r in rows:
         assert again[r["media_id"]] == r["features"]
+
+
+def test_connected_components_transitive(spark):
+    """A chain a-b, b-c, plus isolated pair d-e: components must close
+    transitively (a,b,c share one canonical; d,e another)."""
+    from bitcoin_etl_spark.ops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (10, 11)], "id_a long, id_b long"
+    )
+    cc = {r["node"]: r["component"]
+          for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
