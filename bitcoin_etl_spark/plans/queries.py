@@ -1765,3 +1765,116 @@ def dedup_components(spark, sf_dir):
 
 
 ORACLES["dedup_components"] = _components_oracle_sql()
+
+
+@_q(
+    "events_funnel",
+    """
+    WITH steps AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      count(*) AS n_users,
+      CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_signup,
+      CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_view,
+      CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                     AND t_purchase > t_view
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM steps
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Sequential-pattern funnel (signup → view → purchase, in order):
+    per-user earliest step times via conditional min aggregates — one
+    partial-agg shuffle, no window, no self-join — then ordered-step
+    counting. The product-analytics shape a behavioral-events pipeline
+    runs constantly; strict inequalities make step order explicit."""
+    ev = load(spark, sf_dir, "events")
+
+    def t(step):
+        return F.min(F.when(F.col("event_type") == step, F.col("ts")))
+
+    steps = ev.groupBy("user_id").agg(
+        t("signup").alias("t_signup"),
+        t("view").alias("t_view"),
+        t("purchase").alias("t_purchase"),
+    )
+    sv = F.col("t_signup").isNotNull() & (F.col("t_view") > F.col("t_signup"))
+    return steps.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.col("t_signup").isNotNull().cast("long")).alias("n_signup"),
+        F.sum(sv.cast("long")).alias("n_signup_view"),
+        F.sum(
+            (sv & (F.col("t_purchase") > F.col("t_view"))).cast("long")
+        ).alias("n_full_funnel"),
+    )
+
+
+@_q(
+    "embedding_quantize_stats",
+    """
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x ->
+               greatest(-127, least(127, CAST(floor(
+                 CAST(x AS DOUBLE) * 127.0 /
+                 greatest(list_max(list_transform(embedding,
+                                                  y -> abs(CAST(y AS DOUBLE)))),
+                          1e-30)
+               ) AS BIGINT)))) AS codes
+      FROM embeddings
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           CAST(sum(codes[1]) AS BIGINT) AS sum_code0,
+           CAST(sum(list_aggregate(list_transform(codes, c -> abs(c)),
+                                   'sum')) AS BIGINT) AS sum_abs_codes,
+           CAST(sum(length(list_filter(codes, c -> abs(c) = 127)))
+             AS BIGINT) AS n_saturated
+    FROM q GROUP BY label
+    """,
+)
+def embedding_quantize_stats(spark, sf_dir):
+    """Int8 scalar quantization of embeddings (the storage/transport
+    compression step before ANN at scale): per-vector symmetric scale
+    127/max|x|, floor to integer codes, clamp to [-127,127]. All outputs
+    are integers (sum of first codes, total |code| mass, saturation
+    count per label) so the oracle comparison is float-exact; floor (not
+    round) keeps Spark/DuckDB identical on ties."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    max_abs = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-30)
+    )
+    codes = F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.floor(x * F.lit(127.0) / max_abs).cast("long"),
+            ),
+        ),
+    )
+    q = emb.select("label", codes.alias("codes"))
+    return q.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(F.element_at("codes", 1)).alias("sum_code0"),
+        F.sum(
+            F.aggregate(
+                F.transform(F.col("codes"), lambda c: F.abs(c)),
+                F.lit(0).cast("long"),
+                lambda acc, c: acc + c,
+            )
+        ).alias("sum_abs_codes"),
+        F.sum(
+            F.size(F.filter(F.col("codes"), lambda c: F.abs(c) == 127))
+            .cast("long")
+        ).alias("n_saturated"),
+    )
