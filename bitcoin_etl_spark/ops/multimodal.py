@@ -113,3 +113,48 @@ def synthesize_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_sha", T.StringType(), False),
+        T.StructField("n_frame_bytes", T.LongType(), False),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling for video rows: one input row → up to ``n_frames``
+    output rows (the one-to-many mapInPandas shape a real
+    ffmpeg/decord sampler needs — Arrow batches in, a longer frame batch
+    out, constant memory). The STUB "decoder" slices the byte content
+    into equal chunks standing in for decoded frames (no codecs in this
+    container); a real sampler replaces only the chunking line. Non-video
+    rows produce no frames."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_sha": [],
+                   "n_frame_bytes": []}
+            for mid, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                if kind != "video" or content is None:
+                    continue
+                data = bytes(content)
+                k = min(n_frames, max(1, len(data)))
+                step = len(data) // k
+                for i in range(k):
+                    chunk = data[i * step:(i + 1) * step] if i < k - 1 \
+                        else data[(k - 1) * step:]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_sha"].append(
+                        hashlib.sha256(chunk).hexdigest()
+                    )
+                    out["n_frame_bytes"].append(len(chunk))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(op, schema=FRAMES_SCHEMA)

@@ -1878,3 +1878,80 @@ def embedding_quantize_stats(spark, sf_dir):
             .cast("long")
         ).alias("n_saturated"),
     )
+
+
+@_q(
+    "events_rolling_sum",
+    """
+    SELECT user_id, event_id,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_value
+    FROM events
+    """,
+)
+def events_rolling_sum(spark, sf_dir):
+    """Window FRAME-spec aggregation: per-user 3-row rolling value sum
+    (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), PARTITIONED by user so
+    the window never funnels into one task; DECIMAL inside the frame sum
+    keeps both engines order-exact."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+        .cast("double").alias("rolling_value"),
+    )
+
+
+def _frames_oracle_sql(n: int = 200, seed: int = 42,
+                       n_frames: int = 4) -> str:
+    """Independent pure-Python recompute of the deterministic video
+    frame chunks (VALUES literals — same rationale as the multimodal
+    features oracle: DuckDB can't sha256 blobs)."""
+    import hashlib
+
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        if kinds[i % 3] != "video":
+            continue
+        data = hashlib.md5(f"{seed}:{i}".encode()).digest() * (4 + i % 7)
+        k = min(n_frames, max(1, len(data)))
+        step = len(data) // k
+        for fi in range(k):
+            chunk = data[fi * step:(fi + 1) * step] if fi < k - 1 \
+                else data[(k - 1) * step:]
+            rows.append(
+                f"('m_{i:06d}', {fi}, "
+                f"'{hashlib.sha256(chunk).hexdigest()}', {len(chunk)})"
+            )
+    vals = ",\n      ".join(rows)
+    return f"""
+    SELECT media_id, CAST(frame_idx AS INT) AS frame_idx, frame_sha,
+           CAST(n_frame_bytes AS BIGINT) AS n_frame_bytes
+    FROM (VALUES {vals})
+         AS t(media_id, frame_idx, frame_sha, n_frame_bytes)
+    """
+
+
+@_q("multimodal_frame_sample", None)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame sampling: one media row → N frame rows through an
+    Arrow-batched mapInPandas (the one-to-many batch shape a real
+    ffmpeg sampler needs; decode stubbed as deterministic byte chunks —
+    no codecs in this container). Oracle is the pure-Python recompute of
+    the same deterministic chunks."""
+    from ..ops.multimodal import sample_frames, synthesize_media
+
+    media = synthesize_media(spark, n=200)
+    return sample_frames(media, n_frames=4)
+
+
+ORACLES["multimodal_frame_sample"] = _frames_oracle_sql()
