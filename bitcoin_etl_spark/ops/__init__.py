@@ -10,10 +10,20 @@ decode stubs. Several are also exposed as oracle-checked queries in
 
 from .text import tokenize, quality_stats, langid_scores, fingerprint  # noqa: F401
 from .dedup import (  # noqa: F401
+    connected_components,
+    dedup_keep_policy,
     exact_dedup,
-    minhash_signatures,
+    hamming_near_pairs,
     lsh_candidate_pairs,
-    simhash,
+    minhash_signatures,
     ngram_jaccard_pairs,
+    simhash,
 )
-from .similarity import cosine_topk, embedding_near_dup_pairs  # noqa: F401
+from .similarity import (  # noqa: F401
+    cosine_topk,
+    embedding_near_dup_pairs,
+    ivf_assign,
+    lsh_bucket,
+    ranked_topk,
+)
+from .multimodal import extract_features, sample_frames, synthesize_media  # noqa: F401

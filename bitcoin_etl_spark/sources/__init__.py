@@ -6,3 +6,6 @@ from .mappers import (  # noqa: F401
     explode_outputs,
     enrich_inputs,
 )
+from .genesis import genesis_static_df, inject_static_rows  # noqa: F401
+from .kafka import decode_frames, encode_frames  # noqa: F401
+from .pubsub import encode_messages  # noqa: F401
