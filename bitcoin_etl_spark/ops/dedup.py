@@ -175,11 +175,19 @@ def hamming_near_pairs(sim: DataFrame, id_col: str = "doc_id",
     )
 
 
+DEFAULT_MAX_DOC_FREQ = 10_000
+"""Complete-mode stop-shingle cap applied when the caller does not choose
+one: a shingle shared by f docs contributes f² rows to the self-join, so
+an uncapped hot shingle (boilerplate, empty-ish docs) is the one quadratic
+blowup in the dedup family. 10k² = 10^8 join rows per hot shingle is the
+most a healthy cluster absorbs without a skewed-straggler stage."""
+
+
 def ngram_jaccard_pairs(df: DataFrame, candidates: DataFrame | None,
                         text_col: str = "text", id_col: str = "doc_id",
                         shingle_k: int = 3,
                         min_jaccard: float = 0.8,
-                        max_doc_freq: int | None = None) -> DataFrame:
+                        max_doc_freq: int | None | str = "auto") -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs: |A∩B| via a shingle
     equi-join, |A∪B| from per-doc distinct counts. Never materializes
     the cross product.
@@ -187,13 +195,34 @@ def ngram_jaccard_pairs(df: DataFrame, candidates: DataFrame | None,
     ``candidates=None`` runs COMPLETE mode: candidates are all pairs
     sharing ≥1 distinct shingle — exact full recall for any
     min_jaccard > 0 (J>0 ⟹ shared shingle). The shingle self-join is
-    the only blowup risk (a shingle in f docs yields f² join rows); at
-    cluster scale pass ``max_doc_freq`` to drop shingles more frequent
-    than the cap before the join — standard stop-shingle pruning whose
-    only recall cost is pairs ALL of whose shared shingles are
-    ultra-common. The jaccard threshold is applied in integer
+    the only blowup risk (a shingle in f docs yields f² join rows), so
+    complete mode applies ``DEFAULT_MAX_DOC_FREQ`` stop-shingle pruning
+    BY DEFAULT (``max_doc_freq="auto"``): shingles in more docs than
+    the cap are dropped before the join — the only recall cost is pairs
+    ALL of whose shared shingles are ultra-common. Pass an explicit
+    ``max_doc_freq=None`` to opt out (logged loudly — a single hot
+    shingle then costs f² join rows); candidate mode never needs the
+    cap ("auto" resolves to no pruning) because the join is bounded by
+    the candidate list. The jaccard threshold is applied in integer
     arithmetic (n_inter vs n_union) so results are float-exact and
     oracle-checkable."""
+    import logging
+
+    log = logging.getLogger(__name__)
+    if max_doc_freq == "auto":
+        max_doc_freq = DEFAULT_MAX_DOC_FREQ if candidates is None else None
+        if max_doc_freq is not None:
+            log.info(
+                "ngram_jaccard_pairs complete mode: pruning shingles with "
+                "doc-frequency > %d (default cap; pass max_doc_freq to tune "
+                "or max_doc_freq=None to disable)", max_doc_freq,
+            )
+    elif max_doc_freq is None and candidates is None:
+        log.warning(
+            "ngram_jaccard_pairs complete mode WITHOUT a stop-shingle cap: "
+            "a shingle shared by f docs costs f^2 join rows — one hot "
+            "boilerplate shingle can dominate the whole job"
+        )
     sh = df.select(
         F.col(id_col), F.explode(_shingles(text_col, shingle_k)).alias("sh")
     ).distinct()
@@ -247,15 +276,27 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     dedup pipeline runs AFTER pair generation (keep one doc per
     component, drop the rest).
 
-    Iterative min-label propagation: each round every node takes the
-    min of its own label and its neighbors' labels; converges in
-    O(component diameter) rounds — near-dup components are tiny cliques
-    (diameter ≤ 2-3), so this terminates in a handful of rounds. Each
-    round is one equi-join + partial-agg shuffle over the EDGE list
-    (O(edges), never all-pairs), and the driver checks a single
-    convergence count per round — no row data is collected.
-    ``localCheckpoint`` truncates the growing lineage so round N's plan
-    does not replay rounds 0..N-1."""
+    Iterative min-label propagation WITH pointer jumping: each round a
+    node takes (a) the min of its neighbors' labels (one hop along the
+    edge list) and (b) its label's own label (``label ← label[label]``,
+    the path-halving step of classic pointer-jumping / large-star
+    union-find). The hop alone needs O(component diameter) rounds; the
+    jump compresses label chains geometrically, so the combination
+    converges in O(log diameter) rounds — a 10^6-node path converges in
+    ~20 rounds, not 10^6. Both steps preserve the invariant that a
+    node's label is always the id of a node in its own component, so
+    the fixpoint is the exact component minimum. Each round is two
+    equi-joins + one partial-agg shuffle, all O(edges + nodes), never
+    all-pairs; the driver checks a single convergence count per round —
+    no row data is collected. ``localCheckpoint`` truncates the growing
+    lineage so round N's plan does not replay rounds 0..N-1.
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iter`` rounds — partially-propagated labels are silently
+    WRONG canonical ids (multiple keepers per true cluster), so
+    non-convergence must be loud, mirroring the reference repair
+    loops' refuse-to-proceed count guards
+    (clickhouse_sync_inputs_outputs_…_202309.py:273-301)."""
     sym = pairs.select(
         F.col(id_a).alias("u"), F.col(id_b).alias("v")
     ).unionByName(
@@ -272,21 +313,42 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             .groupBy("u")
             .agg(F.min("label").alias("nl"))
         )
-        new = (
+        stepped = (
             labels.join(neigh, labels.node == neigh.u, "left")
             .select(
                 "node",
+                F.col("label").alias("_old"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
                 ).alias("label"),
-                (F.col("nl") < F.col("label")).alias("_chg"),
             )
+        )
+        ptr = stepped.select(
+            F.col("node").alias("_pn"), F.col("label").alias("_pl")
+        )
+        new = (
+            stepped.join(ptr, stepped.label == ptr._pn, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_pl"), F.col("label"))
+                ).alias("label"),
+                "_old",
+            )
+            .withColumn("_chg", F.col("label") < F.col("_old"))
         )
         new = new.localCheckpoint(eager=True)
         changed = new.filter(F.col("_chg")).limit(1).count()
-        labels = new.drop("_chg")
+        labels = new.drop("_chg", "_old")
         if not changed:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "labels would be partially propagated (silently wrong canonical "
+            "ids). Raise max_iter — convergence needs ~log2(component "
+            "diameter) rounds."
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 

@@ -143,3 +143,52 @@ def test_connected_components_transitive(spark):
     cc = {r["node"]: r["component"]
           for r in connected_components(pairs).collect()}
     assert cc == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 120-node path has diameter 119 — plain one-hop min-label
+    propagation needs 119 rounds, so this test proves the pointer-jumping
+    step gives O(log diameter) convergence within the default max_iter."""
+    from bitcoin_etl_spark.ops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "id_a long, id_b long"
+    )
+    cc = connected_components(pairs)
+    assert {r["component"] for r in cc.collect()} == {0}
+    assert cc.count() == 121
+
+
+def test_connected_components_nonconvergence_is_loud(spark):
+    """If the fixpoint is not reached within max_iter the labels are
+    partially propagated — silently wrong canonical ids — so the
+    operator must raise, not return."""
+    from bitcoin_etl_spark.ops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    """Complete mode prunes shingles whose doc-frequency exceeds the cap
+    before the self-join: two docs whose ONLY shared shingles are
+    ultra-common no longer pair; docs sharing a rare shingle still do."""
+    common = "the quick brown fox"
+    rows = (
+        [(i, common) for i in range(10)]
+        + [(100, "rare unique shingle here"), (101, "rare unique shingle too")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = ngram_jaccard_pairs(
+        docs, None, min_jaccard=0.1, max_doc_freq=5
+    ).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (100, 101) in ids
+    assert all(a >= 100 for a, _ in ids), ids
+    uncapped = ngram_jaccard_pairs(
+        docs, None, min_jaccard=0.1, max_doc_freq=None
+    ).collect()
+    assert len(uncapped) == 45 + 1  # C(10,2) common pairs + the rare pair
