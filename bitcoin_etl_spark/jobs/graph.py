@@ -23,12 +23,17 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def _q(col) -> Column:
-    """Escape + quote a string value for nGQL."""
-    return F.concat(
-        F.lit('"'),
-        F.regexp_replace(col.cast("string"), r'(["\\])', r"\\$1"),
-        F.lit('"'),
-    )
+    """Escape + quote a string value for nGQL. The statement stream is
+    one-statement-per-line, so embedded newlines/CRs/tabs are escaped to
+    their ``\\n``/``\\r``/``\\t`` forms and any remaining C0 control
+    character is dropped — a raw control byte would either split the
+    line or corrupt the console protocol."""
+    s = F.regexp_replace(col.cast("string"), r'(["\\])', r"\\$1")
+    s = F.regexp_replace(s, r"\n", r"\\n")
+    s = F.regexp_replace(s, r"\r", r"\\r")
+    s = F.regexp_replace(s, r"\t", r"\\t")
+    s = F.regexp_replace(s, r"[\x00-\x1F]", "")
+    return F.concat(F.lit('"'), s, F.lit('"'))
 
 
 # ------------------------------------------------------------- vertices
@@ -114,15 +119,26 @@ def coinbase_edges(tx: DataFrame) -> DataFrame:
 
 # ------------------------------------------------- nGQL statement stream
 def _val(col, dtype) -> Column:
+    # Every branch must render SQL NULL as the literal ``NULL`` — a bare
+    # NULL column would be silently DROPPED by the enclosing
+    # concat_ws(", ", ...), misaligning the value list against the
+    # declared prop names.
     if dtype in ("string",):
-        return _q(col)
+        return F.coalesce(_q(col), F.lit("NULL"))
     if dtype == "boolean":
-        return F.when(col, "true").otherwise("false")
+        return F.coalesce(
+            F.when(col, "true").when(~col, "false"), F.lit("NULL")
+        )
     if dtype == "datetime":
-        return F.concat(
-            F.lit('datetime("'),
-            F.date_format(F.timestamp_seconds(col), "yyyy-MM-dd'T'HH:mm:ss"),
-            F.lit('")'),
+        return F.coalesce(
+            F.concat(
+                F.lit('datetime("'),
+                F.date_format(
+                    F.timestamp_seconds(col), "yyyy-MM-dd'T'HH:mm:ss"
+                ),
+                F.lit('")'),
+            ),
+            F.lit("NULL"),
         )
     return F.coalesce(col.cast("string"), F.lit("NULL"))
 

@@ -11,9 +11,11 @@ jar (``iceberg_available`` gates it).
 Mapping of the engine contract onto Iceberg:
 
 * versioned upsert (C1)    → ``MERGE INTO … WHEN MATCHED AND s._rev >
-  t._rev THEN UPDATE … WHEN MATCHED AND deleted THEN DELETE … WHEN NOT
-  MATCHED AND NOT deleted THEN INSERT`` — last-writer-wins by revision,
-  tombstones delete.
+  t._rev THEN UPDATE … WHEN NOT MATCHED THEN INSERT`` — last-writer-wins
+  by revision; tombstones are RETAINED rows (``_deleted = true``), never
+  a physical DELETE, so a replayed older epoch cannot resurrect a
+  deleted key; ``purge_tombstones_sql`` drops them behind the replay
+  horizon at compaction time.
 * exactly-once ledger (T5) → a ``<table>_ledger`` Iceberg table written
   in the same ``foreachBatch`` body; Iceberg's snapshot isolation plus
   the ledger-check-before-merge gives idempotent epochs (WAP/branch

@@ -304,6 +304,13 @@ class LakeTable:
 
     def _dedup_final(self, spark: SparkSession, files: list[dict],
                      schema: T.StructType, strategy: str) -> DataFrame:
+        latest = self._dedup_latest(spark, files, schema, strategy)
+        return latest.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
+
+    def _dedup_latest(self, spark: SparkSession, files: list[dict],
+                      schema: T.StructType, strategy: str) -> DataFrame:
+        """Latest row image per key, tombstones KEPT (``_deleted`` flags
+        the losers-of-nothing: keys whose newest event is a delete)."""
         df = self._read_files(spark, files, schema)
         if strategy == "auto":
             # base rows are unique-per-key lower bound; delta rows upper
@@ -326,7 +333,7 @@ class LakeTable:
                 F.max_by(F.struct(*payload), F.col(REV_COL)).alias("_latest")
             )
             out = agg.select(self.key, "_latest.*")
-        return out.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
+        return out
 
     # winners above this row estimate fall back to the shuffle plan
     # (5M keys ≈ 200 MB broadcast — inside the default 1g driver-result
@@ -531,12 +538,24 @@ class LakeTable:
         }
 
     def compact(self, spark: SparkSession,
-                buckets: set[int] | None = None) -> dict:
+                buckets: set[int] | None = None,
+                min_retained_rev: int | None = None) -> dict:
         """Fold deltas into unique-per-key, hash-bucketed base files —
-        the ``OPTIMIZE TABLE … FINAL`` analog. Keeps tombstones OUT of
-        the base (fully merged — safe because the exactly-once ledger
-        prevents committed epochs from replaying). Old files are dropped
+        the ``OPTIMIZE TABLE … FINAL`` analog. Old files are dropped
         from the manifest (garbage-collectable); ledger is preserved.
+
+        Tombstones are RETAINED in the base by default (one row per
+        deleted key at its delete ``_rev``), mirroring the Iceberg sink's
+        merge contract (``lake/iceberg.py``): a later replay of an OLDER
+        withheld epoch (patch-by-replay, C5) carries a lower ``_rev``
+        than the tombstone, so the delete keeps winning max-``_rev``
+        dedup and the key cannot be resurrected. ``read_final`` filters
+        tombstones at read time so results are unchanged. Pass
+        ``min_retained_rev`` to PURGE tombstones with
+        ``_rev < min_retained_rev`` — the replay horizon below which the
+        caller guarantees no epoch will ever be replayed (the
+        ``purge_tombstones_sql`` analog; running compact with a horizon
+        on an all-base table is the standalone purge pass).
 
         ``buckets=None`` rewrites the whole table. ``buckets={...}``
         is MAJOR compaction of a bucket subset: only those buckets'
@@ -553,23 +572,16 @@ class LakeTable:
             target = [f for f in m["files"] if f["bucket"] in buckets]
         if not target:
             return {"compacted": False, "reason": "no-files"}
-        if all(f.get("kind") == "base" for f in target):
+        if (all(f.get("kind") == "base" for f in target)
+                and min_retained_rev is None):
             return {"compacted": False, "reason": "already-base"}
         schema = self.schema()
-        if buckets is None:
-            final = self.read_final(spark)
-        else:
-            df = self._read_files(spark, target, schema)
-            payload = [f.name for f in schema.fields if f.name != self.key]
-            agg = df.groupBy(self.key).agg(
-                F.max_by(F.struct(*payload), F.col(REV_COL)).alias("_latest")
+        final = self._dedup_latest(spark, target, schema, "auto")
+        if min_retained_rev is not None:
+            final = final.filter(
+                ~F.col(DELETED_COL) | (F.col(REV_COL) >= min_retained_rev)
             )
-            final = agg.select(self.key, "_latest.*").filter(
-                ~F.col(DELETED_COL)
-            ).drop(DELETED_COL)
-        final = self._align(
-            final.withColumn(DELETED_COL, F.lit(False)), schema
-        )
+        final = self._align(final, schema)
         sub = f"base-v{m['version'] + 1}-{uuid.uuid4().hex[:8]}"
         entries = self._write_data(final, sub, by_bucket=True)
         for e in entries:

@@ -298,3 +298,45 @@ def test_incremental_compaction(spark, tmp_path):
 
     # idempotent: nothing left to do
     assert table.compact(spark, buckets=half)["compacted"] is False
+
+
+def test_compaction_retains_tombstones_against_stale_replay(spark, tmp_path):
+    """Withheld-epoch replay safety (the patch-by-replay flow, C5):
+    compaction must RETAIN tombstones so a replayed OLDER epoch's upsert
+    for a deleted-then-compacted key loses max-_rev dedup instead of
+    resurrecting the row; `min_retained_rev` purges only tombstones
+    below the caller's replay horizon (the purge_tombstones analog)."""
+    from pyspark.sql import types as T
+
+    payload = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("val", T.LongType(), True),
+    ])
+    table = LakeTable.create(str(tmp_path / "t"), payload, n_buckets=4)
+
+    def delta(rows, epoch):
+        df = spark.createDataFrame(
+            rows, "doc_id string, val long, _rev long, _deleted boolean"
+        )
+        table.append_delta(df, epoch_id=epoch)
+
+    delta([("a", 1, 1, False), ("b", 2, 2, False)], epoch=0)
+    delta([("a", None, 5, True)], epoch=1)          # delete a @ rev 5
+    table.compact(spark)
+    assert [r["doc_id"] for r in table.read_final(spark).collect()] == ["b"]
+    raw = table.read_raw(spark)
+    assert raw.filter("_deleted").count() == 1      # tombstone survives
+
+    # stale replay: the withheld epoch's upsert of a at rev 3 (< 5)
+    delta([("a", 99, 3, False)], epoch=99)
+    got = {r["doc_id"]: r["val"] for r in table.read_final(spark).collect()}
+    assert got == {"b": 2}, f"deleted key resurrected: {got}"
+    table.compact(spark)
+    got = {r["doc_id"]: r["val"] for r in table.read_final(spark).collect()}
+    assert got == {"b": 2}
+
+    # purge behind the replay horizon: rev 5 < 6 → tombstone dropped
+    res = table.compact(spark, min_retained_rev=6)
+    assert res["compacted"]
+    assert table.read_raw(spark).filter("_deleted").count() == 0
+    assert {r["doc_id"] for r in table.read_final(spark).collect()} == {"b"}

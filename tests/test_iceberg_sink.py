@@ -49,9 +49,11 @@ def test_merge_statement_last_writer_wins(spark):
 
 
 def test_statements_parse_with_spark_sql_parser(spark):
-    """Every generated statement (except Iceberg's CALL extension, which
-    needs the Iceberg parser) must survive Spark's real ANSI SQL parser —
-    the strongest offline check available without the runtime jar."""
+    """EVERY generated statement must survive Spark's real ANSI SQL
+    parser — the strongest offline check available without the runtime
+    jar. Includes ``compact_sql``: Spark 4's parser accepts CALL
+    (stored-procedure syntax), so even the Iceberg-procedure call is
+    parser-checked."""
     t = IcebergDocsTable(spark, "cat.db.docs", n_buckets=32)
     parser = spark._jsparkSession.sessionState().sqlParser()
     stmts = [
@@ -60,6 +62,7 @@ def test_statements_parse_with_spark_sql_parser(spark):
         t.merge_sql("src", ["tokens", "n_tok", "source"]),
         t.ledger_check_sql("p1", 7),
         t.ledger_insert_sql("p1", 7, {"rows": 1}),
+        t.compact_sql("cat"),
         t.purge_tombstones_sql(100),
     ]
     for s in stmts:

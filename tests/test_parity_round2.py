@@ -296,3 +296,33 @@ def test_pubsub_message_frames(spark, chain):
     body = json.loads(bytes(r["data"]))
     assert r["attributes"]["item_id"] == body["item_id"]
     assert msgs.count() == tx.count()
+
+
+def test_ngql_escaping_and_null_rendering(spark):
+    """Statement-stream safety: control characters in string props are
+    escaped (the stream is one-statement-per-line), and SQL NULLs render
+    as the literal NULL in EVERY dtype branch — a bare NULL column would
+    be dropped by concat_ws, misaligning values against prop names."""
+    from bitcoin_etl_spark.jobs.graph import ngql_vertex_statements
+
+    df = spark.createDataFrame(
+        [
+            ("v1", 'a"b\\c\nd\re\tf\x01g', True, 7),
+            ("v2", None, None, None),
+        ],
+        "vid string, label string, flag boolean, n long",
+    )
+    stmts = [
+        r["stmt"]
+        for r in ngql_vertex_statements(
+            df, "t", {"label": "string", "flag": "boolean", "n": "int"}
+        ).collect()
+    ]
+    assert stmts[0] == (
+        'INSERT VERTEX t(label, flag, n) VALUES "v1":'
+        '("a\\"b\\\\c\\nd\\re\\tfg", true, 7);'
+    )
+    assert stmts[1] == (
+        'INSERT VERTEX t(label, flag, n) VALUES "v2":(NULL, NULL, NULL);'
+    )
+    assert all("\n" not in s and "\r" not in s for s in stmts)
