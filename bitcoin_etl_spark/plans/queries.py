@@ -1794,7 +1794,13 @@ def events_funnel(spark, sf_dir):
     per-user earliest step times via conditional min aggregates — one
     partial-agg shuffle, no window, no self-join — then ordered-step
     counting. The product-analytics shape a behavioral-events pipeline
-    runs constantly; strict inequalities make step order explicit."""
+    runs constantly.
+
+    Tie semantics: steps are compared with STRICT ``>``, so a later step
+    sharing the exact timestamp of the previous step does NOT advance
+    the funnel — "in order" means strictly after, the conservative
+    choice when event timestamps have coarse (e.g. second) resolution.
+    Pinned by ``test_funnel_tie_semantics``."""
     ev = load(spark, sf_dir, "events")
 
     def t(step):

@@ -192,3 +192,30 @@ def test_ngram_jaccard_stop_shingle_cap(spark):
         docs, None, min_jaccard=0.1, max_doc_freq=None
     ).collect()
     assert len(uncapped) == 45 + 1  # C(10,2) common pairs + the rare pair
+
+
+def test_funnel_tie_semantics(spark, tmp_path):
+    """Pins events_funnel's strict-inequality tie rule: a step at the
+    SAME timestamp as the previous step does not advance the funnel."""
+    import datetime as dt
+
+    from bitcoin_etl_spark.plans.queries import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    t1 = t0 + dt.timedelta(seconds=1)
+    t2 = t0 + dt.timedelta(seconds=2)
+    rows = [
+        # user 1: strictly ordered -> full funnel
+        (1, "signup", t0), (1, "view", t1), (1, "purchase", t2),
+        # user 2: view ties signup -> stops at signup
+        (2, "signup", t0), (2, "view", t0), (2, "purchase", t2),
+        # user 3: purchase ties view -> stops at signup+view
+        (3, "signup", t0), (3, "view", t1), (3, "purchase", t1),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = QUERIES["events_funnel"](spark, str(tmp_path)).first()
+    assert (got["n_users"], got["n_signup"], got["n_signup_view"],
+            got["n_full_funnel"]) == (3, 3, 2, 1)

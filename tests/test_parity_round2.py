@@ -326,3 +326,56 @@ def test_ngql_escaping_and_null_rendering(spark):
         'INSERT VERTEX t(label, flag, n) VALUES "v2":(NULL, NULL, NULL);'
     )
     assert all("\n" not in s and "\r" not in s for s in stmts)
+
+
+def test_gremlin_statement_stream(spark, chain):
+    """J8 Gremlin/JanusGraph variant: coalesce(unfold(), addV(...))
+    vertex upserts and coalesce(existing-edge, addE(...)) edge upserts,
+    golden-checked offline (reference
+    janusGraph/janus_etl_partition_by_partition.py:173-185,360-391).
+    Null payload properties are omitted, mirroring the reference's
+    `if (x != null)` guards."""
+    from bitcoin_etl_spark.jobs.gremlin import (
+        gremlin_edge_statements,
+        gremlin_vertex_statements,
+    )
+    from bitcoin_etl_spark.jobs.graph import block_vertices_df
+
+    blocks = map_blocks(chain)
+    bv = block_vertices_df(blocks)
+    v = gremlin_vertex_statements(
+        bv, "block", "block_hash",
+        {"block_number": "long", "block_timestamp": "datetime",
+         "previous_block_hash": "string"},
+    ).collect()
+    assert len(v) == blocks.count()
+    sample = v[0]["stmt"]
+    assert sample.startswith('g.V().has(\'block\',\'block_hash\',"')
+    assert ".fold().coalesce(unfold(),addV('block')" in sample
+    assert ".property('block_number', " in sample and "L)" in sample
+    assert ".property('block_timestamp', new Date(" in sample
+    assert sample.endswith(".iterate()")
+    assert "\n" not in sample
+
+    tx = map_transactions(chain)
+    e = gremlin_edge_statements(
+        tx.select(F.col("hash").alias("th"), F.col("block_hash").alias("bh")),
+        "belongs_to",
+        ("transaction", "transaction_hash", "th"),
+        ("block", "block_hash", "bh"),
+    ).first()["stmt"]
+    assert e.startswith('g.V().has(\'transaction\',\'transaction_hash\',"')
+    assert ".coalesce(__.inE('belongs_to').where(__.outV().as('s'))," in e
+    assert "__.addE('belongs_to').from('s'))" in e and e.endswith(".iterate()")
+
+    # null payload property is OMITTED (reference's `if (x != null)` guard)
+    two = spark.createDataFrame(
+        [("k1", 5, None), ("k2", None, "ok")],
+        "vid string, n long, note string",
+    )
+    stmts = {r["stmt"] for r in gremlin_vertex_statements(
+        two, "t", "tkey", {"n": "long", "note": "string"}).collect()}
+    s1 = next(s for s in stmts if '"k1"' in s)
+    s2 = next(s for s in stmts if '"k2"' in s)
+    assert ".property('n', 5L)" in s1 and "note" not in s1
+    assert '.property(\'note\', "ok")' in s2 and "'n'" not in s2
