@@ -46,6 +46,12 @@ HEADLINE_QUERIES = [
     "dedup_simhash_hamming",
     "kafka_codec_roundtrip",
     "text_token_counts",
+    # round-3 additions: the dedup pipeline END-TO-END (candidate pairs +
+    # iterative connected-components canonicalization) so the per-round
+    # driver-sync cost of the iterative algorithm is measured, not just
+    # correct
+    "dedup_lsh_banded",
+    "dedup_components",
 ]
 
 CACHE_ROOT = os.environ.get(
@@ -193,6 +199,7 @@ def main() -> None:
     cdc = run_cdc_replay(spark, scen_dir, n_buckets=64)
 
     queries: dict[str, float] = {}
+    query_stats: dict[str, dict] = {}
     if not cdc_only:
         from bitcoin_etl_spark.plans.queries import QUERIES
 
@@ -206,21 +213,44 @@ def main() -> None:
                     while fh.read(1 << 24):
                         pass
 
+        # medians over repeats: single-shot timings on this noise-prone
+        # box cannot distinguish a plan regression from host noise
+        # (BENCH/BASELINE.md documents ~12% swings on identical runs and
+        # round 2 showed unexplained 2x single-shot outliers). Per query
+        # we report the MEDIAN of `repeats` runs plus min/max spread.
+        repeats = int(os.environ.get("BENCH_QUERY_REPEATS", "5"))
         for name in HEADLINE_QUERIES:
-            t0 = time.time()
-            df = QUERIES[name](spark, sf_dir)
-            n = df.count()
-            queries[name] = round(time.time() - t0, 3)
-            _ = n
+            times = []
+            for _i in range(repeats):
+                t0 = time.time()
+                QUERIES[name](spark, sf_dir).count()
+                times.append(time.time() - t0)
+            times.sort()
+            med = times[len(times) // 2] if repeats % 2 else (
+                times[repeats // 2 - 1] + times[repeats // 2]) / 2
+            queries[name] = round(med, 3)
+            query_stats[name] = {
+                "median": round(med, 3),
+                "min": round(times[0], 3),
+                "max": round(times[-1], 3),
+                "runs": repeats,
+            }
 
     # timed regions only: CDC replay wall + per-query walls (the JVM/codec
     # warmup pass inside run_cdc_replay is deliberately untimed)
     total = round(cdc["total_sec"] + sum(queries.values()), 3)
     out = {
         "metric": "cdc_replay_plus_headline_queries_wall_sec",
+        # protocol v3: per-query value = median of `repeats` runs (v2 =
+        # single shot after JVM warmup + page-cache warm; v1 = fully cold).
+        # Cross-round comparisons must match protocols — see
+        # BENCH/BASELINE.md "Measurement protocol".
+        "protocol": "v3-median-of-repeats",
+        "query_repeats": int(os.environ.get("BENCH_QUERY_REPEATS", "5")),
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "query_stats": query_stats,
         "sf": sf,
         "cores": cores,
         "cdc": cdc,

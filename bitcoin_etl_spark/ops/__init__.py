@@ -27,3 +27,5 @@ from .similarity import (  # noqa: F401
     ranked_topk,
 )
 from .multimodal import extract_features, sample_frames, synthesize_media  # noqa: F401
+from .sampling import stratified_sample  # noqa: F401
+from .packing import chunk_by_token_budget, greedy_pack  # noqa: F401

@@ -302,6 +302,10 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     ).unionByName(
         pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
     ).distinct()
+    # materialize the edge list ONCE: it is referenced twice per round,
+    # and without this the whole upstream pair-generation plan (e.g.
+    # MinHash + banded LSH) would re-execute every iteration
+    sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()

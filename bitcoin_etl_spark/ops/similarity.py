@@ -41,24 +41,22 @@ def ranked_topk(scored: DataFrame, k: int, order_col: str = "cos",
     ``WindowExec: No Partition Defined`` anti-pattern this replaces; a
     global window can't be used even on the survivors without
     re-triggering it, since Catalyst folds constant partition keys away).
-    Ranks are stamped on the ≤k survivors windowlessly:
-    rank = 1 + how many survivors beat you, via a broadcast self-join —
-    O(k²) comparisons on k rows, exact for the (order_col desc, id asc)
-    total order."""
+    The ≤k survivors are collected ONCE and ranks stamped driver-side
+    (they arrive already in (order_col desc, id asc) total order, so
+    rank = position). k rows on the driver is exactly what TakeOrdered
+    produces anyway; the earlier broadcast-self-join variant planned the
+    TakeOrdered subtree twice and re-ran the full upstream scan for the
+    rank join — 2× the scan cost for zero extra information."""
+    from pyspark.sql import types as T
+
     order = [F.desc(order_col), F.asc(id_col)]
     top = scored.orderBy(*order).limit(k)
-    out_cols = top.columns
-    a = top.alias("a")
-    b = top.select(order_col, id_col).alias("b")
-    beats = (F.col(f"b.{order_col}") > F.col(f"a.{order_col}")) | (
-        (F.col(f"b.{order_col}") == F.col(f"a.{order_col}"))
-        & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
+    rows = top.collect()
+    schema = T.StructType(
+        list(top.schema.fields) + [T.StructField("rank", T.IntegerType(), False)]
     )
-    return (
-        a.join(F.broadcast(b), beats, "left")
-        .groupBy(*[F.col(f"a.{c}").alias(c) for c in out_cols])
-        .agg((F.count(F.col(f"b.{id_col}")) + 1).cast("int").alias("rank"))
-    )
+    data = [tuple(r) + (i + 1,) for i, r in enumerate(rows)]
+    return scored.sparkSession.createDataFrame(data, schema)
 
 
 def cosine_topk(df: DataFrame, query: list[float], k: int = 10,

@@ -1961,3 +1961,151 @@ def multimodal_frame_sample(spark, sf_dir):
 
 
 ORACLES["multimodal_frame_sample"] = _frames_oracle_sql()
+
+
+# ------------------------------------------------- round-3 LLM-pipeline ops
+@_q(
+    "sample_stratified",
+    """
+    SELECT doc_id, source, lang FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
+          < CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 50 ELSE 25 END
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling (corpus mix rebalancing):
+    keep a row iff its key-hash bucket falls under its stratum's rate —
+    a single narrow filter, zero shuffles, reproducible across retries
+    and repartitionings (unlike df.sample). src0 downsampled to 10%,
+    src1 kept at 50%, everything else 25%."""
+    from ..ops.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "source", {"src0": 0.10, "src1": 0.50}, "doc_id",
+        default_rate=0.25,
+    ).select("doc_id", "source", "lang")
+
+
+@_q(
+    "pack_token_chunks",
+    """
+    SELECT doc_id, source, n_tok,
+           CAST(floor((cum - n_tok) / 256.0) AS BIGINT) AS chunk_id
+    FROM (
+      SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM (SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+            FROM documents)
+    )
+    """,
+)
+def pack_token_chunks(spark, sf_dir):
+    """Sequence packing, chunk-assignment form: chunk id = floor(
+    start-token-offset / budget) over a per-source ordered running token
+    count — the pre-training batching step, as ONE partitioned window
+    (never a global sort). The hard-capacity greedy variant is
+    ``ops.packing.greedy_pack`` (applyInPandas, pytest-covered)."""
+    from ..ops.packing import chunk_by_token_budget
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    return chunk_by_token_budget(docs, "source", "doc_id", "n_tok", 256)
+
+
+@_q(
+    "text_pii_redact",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-0'
+                  || CAST(doc_id % 1000 AS VARCHAR) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.-]+'))
+                AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '[+][0-9][0-9-]{6,}'))
+                AS BIGINT) AS n_phones,
+           regexp_replace(
+             regexp_replace(t, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+             '[+][0-9][0-9-]{6,}', '<PHONE>', 'g') AS redacted
+    FROM aug
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    """PII scrubbing: email/phone detection counts + redaction, pure
+    regexp Column expressions (whole-stage codegen, no UDF). Patterns
+    restricted to syntax RE2 and Java regex evaluate identically (no
+    lookaround, no shorthand classes). The synthetic corpus carries no
+    PII, so a deterministic email+phone suffix is appended per row —
+    every row exercises both match paths."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com or +1-555-0"),
+        (F.col("doc_id") % 1000).cast("string"),
+    )
+    email, phone = "[a-z0-9._]+@[a-z0-9.-]+", "[+][0-9][0-9-]{6,}"
+    aug = docs.select("doc_id", t.alias("t"))
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(email), 0)).cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(phone), 0)).cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("t", email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("redacted"),
+    )
+
+
+@_q(
+    "dedup_ngram_jaccard_capped",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh0 AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+      FROM w
+    ),
+    sh AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               count(*) OVER (PARTITION BY shingle) AS df
+        FROM sh0
+      ) WHERE df <= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(sa.n + sb.n - n_inter AS BIGINT) AS n_union
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter * 5 >= (sa.n + sb.n - n_inter)
+    """,
+)
+def dedup_ngram_jaccard_capped(spark, sf_dir):
+    """The stop-shingle-capped form of complete-mode n-gram Jaccard
+    (J ≥ 0.2, shingles in > 3 docs pruned BEFORE the self-join): the
+    oracle recomputes the cap independently, so the pruned join — the
+    configuration a 100 TB run must use — is correctness-gated, not
+    just the uncapped shape."""
+    from ..ops.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, None, min_jaccard=0.2, max_doc_freq=3
+    )

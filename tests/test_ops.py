@@ -219,3 +219,32 @@ def test_funnel_tie_semantics(spark, tmp_path):
     got = QUERIES["events_funnel"](spark, str(tmp_path)).first()
     assert (got["n_users"], got["n_signup"], got["n_signup_view"],
             got["n_full_funnel"]) == (3, 3, 2, 1)
+
+
+def test_greedy_pack_invariants(spark, docs):
+    """True first-fit packing: no pack exceeds the budget unless it is a
+    single oversized doc; every doc is assigned; pack ids are dense per
+    group in visit order; deterministic across runs."""
+    from bitcoin_etl_spark.ops.packing import greedy_pack
+
+    budget = 64
+    toks = docs.select(
+        "doc_id", "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    packed = greedy_pack(toks, "source", "doc_id", "n_tok", budget)
+    pdf = packed.toPandas()
+    assert len(pdf) == toks.count()
+    sums = pdf.groupby(["source", "pack_id"]).agg(
+        total=("n_tok", "sum"), n=("n_tok", "size")
+    )
+    over = sums[sums["total"] > budget]
+    assert (over["n"] == 1).all()  # only single oversized docs overflow
+    for _src, g in pdf.groupby("source"):
+        ids = g.sort_values("doc_id")["pack_id"].tolist()
+        assert ids[0] == 0
+        assert all(b - a in (0, 1) for a, b in zip(ids, ids[1:]))
+    again = greedy_pack(toks, "source", "doc_id", "n_tok", budget).toPandas()
+    a = pdf.sort_values("doc_id").reset_index(drop=True)
+    b = again.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
