@@ -39,6 +39,10 @@ def run_once(cores: int, events: int, epochs: int = 4,
         BENCH_CDC_EVENTS=str(events),
         BENCH_CDC_EPOCHS=str(epochs),
         BENCH_CDC_ONLY="1",
+        # one replay per sample: scaling.py does its own repeat/interleave
+        # protocol (--repeat), so bench.py-level CDC medians would triple
+        # each sample's wall for nothing
+        BENCH_CDC_REPEATS="1",
         BENCH_CACHE_DIR=f"{SHM}/cache",
         BENCH_WORK_DIR=f"{SHM}/work",
         SPARK_LOCAL_DIRS=f"{SHM}/local",

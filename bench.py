@@ -104,7 +104,8 @@ def ensure_changelog(n_events: int, n_epochs: int, n_keys: int) -> str:
     return out
 
 
-def run_cdc_replay(spark, scen_dir: str, n_buckets: int) -> dict:
+def run_cdc_replay(spark, scen_dir: str, n_buckets: int,
+                   warm: bool = True) -> dict:
     import glob
 
     from pyspark.sql import functions as F, types as T
@@ -132,19 +133,21 @@ def run_cdc_replay(spark, scen_dir: str, n_buckets: int) -> dict:
     # throughput (the authoritative 10^10-event replay target is
     # steady-state); leaving them in the timed region biases the faster
     # parallelism level downward in the scaling comparison.
-    wdir = tempfile.mkdtemp(prefix="cdc_bench_warm_", dir=WORK_DIR)
-    shutil.rmtree(wdir)
-    wtable = LakeTable.create(wdir, payload, n_buckets=n_buckets)
-    wapplier = EpochApplier(
-        wtable, pipeline_id="warm", pre_reduce=False, quarantine_mode="lazy"
-    )
-    wdf = (
-        spark.read.schema(CHANGES_SCHEMA).parquet(epoch_dirs[0])
-        .withColumn("epoch", F.lit(0).cast("long")).limit(100_000)
-    )
-    wapplier.apply_epoch(spark, wdf, 0)
-    wtable.compact(spark)
-    shutil.rmtree(wdir, ignore_errors=True)
+    if warm:
+        wdir = tempfile.mkdtemp(prefix="cdc_bench_warm_", dir=WORK_DIR)
+        shutil.rmtree(wdir)
+        wtable = LakeTable.create(wdir, payload, n_buckets=n_buckets)
+        wapplier = EpochApplier(
+            wtable, pipeline_id="warm", pre_reduce=False,
+            quarantine_mode="lazy"
+        )
+        wdf = (
+            spark.read.schema(CHANGES_SCHEMA).parquet(epoch_dirs[0])
+            .withColumn("epoch", F.lit(0).cast("long")).limit(100_000)
+        )
+        wapplier.apply_epoch(spark, wdf, 0)
+        wtable.compact(spark)
+        shutil.rmtree(wdir, ignore_errors=True)
 
     n_events = 0
     t0 = time.time()
@@ -195,8 +198,18 @@ def main() -> None:
         },
     )
 
-    # bucket count FIXED across parallelism levels (comparable layouts)
-    cdc = run_cdc_replay(spark, scen_dir, n_buckets=64)
+    # bucket count FIXED across parallelism levels (comparable layouts).
+    # Median of BENCH_CDC_REPEATS full replays (fresh table each; JVM
+    # warmup only before the first) — the replay is as noise-exposed as
+    # the queries, so the headline gets the same median treatment.
+    cdc_repeats = int(os.environ.get("BENCH_CDC_REPEATS", "3"))
+    cdc_runs = [
+        run_cdc_replay(spark, scen_dir, n_buckets=64, warm=(i == 0))
+        for i in range(cdc_repeats)
+    ]
+    cdc_runs.sort(key=lambda r: r["total_sec"])
+    cdc = cdc_runs[len(cdc_runs) // 2]
+    cdc["all_total_sec"] = [r["total_sec"] for r in cdc_runs]
 
     queries: dict[str, float] = {}
     query_stats: dict[str, dict] = {}

@@ -2109,3 +2109,52 @@ def dedup_ngram_jaccard_capped(spark, sf_dir):
     return ngram_jaccard_pairs(
         docs, None, min_jaccard=0.2, max_doc_freq=3
     )
+
+
+def _greedy_pack_oracle_sql(n: int = 500, n_shards: int = 8,
+                            budget: int = 128) -> str:
+    """Independent pure-Python recompute of greedy first-fit packing
+    over the deterministic synthetic token table (VALUES literal — the
+    sequential pack state is not SQL-expressible, same rationale as the
+    multimodal oracles)."""
+    rows = []
+    state: dict[int, tuple[int, int]] = {}  # shard -> (pack_id, fill)
+    for i in range(n):
+        shard = i % n_shards
+        n_tok = (i * 37) % 97 + 5
+        pid, fill = state.get(shard, (0, 0))
+        if fill > 0 and fill + n_tok > budget:
+            pid, fill = pid + 1, 0
+        fill += n_tok
+        state[shard] = (pid, fill)
+        rows.append(f"('s{shard}', {i}, {n_tok}, {pid}, {fill})")
+    vals = ",\n      ".join(rows)
+    return f"""
+    SELECT shard, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(pack_id AS BIGINT) AS pack_id,
+           CAST(pack_tokens AS BIGINT) AS pack_tokens
+    FROM (VALUES {vals})
+         AS t(shard, doc_id, n_tok, pack_id, pack_tokens)
+    """
+
+
+@_q("pack_greedy_firstfit", None)
+def pack_greedy_firstfit(spark, sf_dir):
+    """True first-fit greedy sequence packing (hard capacity: a pack
+    never exceeds the budget) via per-group applyInPandas — sequential
+    pack state per shard, parallel across shards. Input is a
+    deterministic synthetic token table (sf-independent, like the
+    multimodal entries) so the non-SQL-expressible sequential state can
+    still be driver-checked against a pure-Python recompute."""
+    from ..ops.packing import greedy_pack
+
+    df = spark.range(500).select(
+        F.concat(F.lit("s"), (F.col("id") % 8).cast("string")).alias("shard"),
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 37) % 97 + 5).alias("n_tok"),
+    )
+    return greedy_pack(df, "shard", "doc_id", "n_tok", 128)
+
+
+ORACLES["pack_greedy_firstfit"] = _greedy_pack_oracle_sql()
