@@ -2158,3 +2158,107 @@ def pack_greedy_firstfit(spark, sf_dir):
 
 
 ORACLES["pack_greedy_firstfit"] = _greedy_pack_oracle_sql()
+
+
+@_q(
+    "text_salient_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+    FROM (
+      SELECT doc_id, term, tf, df,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY CAST(tf AS DOUBLE) / df DESC, term
+             ) AS rn
+      FROM tf JOIN df USING (term)
+    ) WHERE rn = 1
+    """,
+)
+def text_salient_terms(spark, sf_dir):
+    """Per-doc most-salient term by tf/df (the tf-idf argmax — document
+    keyword extraction): term frequencies and document frequencies are
+    two partial-agg shuffles; the per-doc argmax is a window PARTITIONED
+    by doc_id (never global). Ties broken lexicographically so the
+    result is total-order exact."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        (F.col("tf").cast("double") / F.col("df")).desc(), F.col("term")
+    )
+    return (
+        tf.join(df_, "term")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "term", F.col("tf").cast("long").alias("tf"),
+                F.col("df").cast("long").alias("df"))
+    )
+
+
+@_q(
+    "ann_kmeans_step",
+    """
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id < 8
+    ), assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, c.centroid)
+                          DESC, c.centroid_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    )
+    SELECT centroid_id,
+           CAST(pos - 1 AS INT) AS pos,
+           CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))
+                AS BIGINT) AS sum_q,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT centroid_id, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM assigned
+    )
+    GROUP BY 1, 2
+    """,
+)
+def ann_kmeans_step(spark, sf_dir):
+    """One k-means/IVF-training iteration, accumulate phase: assign
+    every vector to its max-cosine centroid (broadcast centroids,
+    map-side max_by argmax — `ivf_assign`), then per-(centroid,
+    dimension) element sums + counts via posexplode + ONE partial-agg
+    shuffle of K×dim rows. Elements are floor-quantized to integer
+    micro-units so the cross-engine sum is order-independent and exact
+    (float sums are not associative); the caller divides sum_q/n for the
+    new centroid. This is the building block that turns the IVF index
+    from fixed-seed to trained."""
+    from ..ops.similarity import ivf_assign
+
+    e = load(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    assigned = ivf_assign(e, cents)
+    elems = assigned.select(
+        "centroid_id", F.posexplode("embedding").alias("pos", "v")
+    )
+    return elems.groupBy("centroid_id", "pos").agg(
+        F.sum(
+            F.floor(F.col("v").cast("double") * 1000000.0).cast("long")
+        ).cast("long").alias("sum_q"),
+        F.count("*").cast("long").alias("n"),
+    )
