@@ -23,6 +23,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 SHM = "/dev/shm/spark_graft_bench"
+MANUAL_MARKER = "<!-- MANUAL SECTIONS BELOW: preserved by scaling.py -->"
 
 
 def run_once(cores: int, events: int, epochs: int = 4,
@@ -240,9 +241,21 @@ epoch is bounded by distinct keys per epoch, not table size
 Caveat: local[N] shares one JVM/page cache, so this measures CPU-scaling
 of the plan, not network shuffle; on a real cluster AQE skew-join and the
 salted pre-reduction keep the hot-key tail bounded.
+
+{MANUAL_MARKER}
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve hand-written sections (protocol history, per-round
+    # reproducibility tables) below the marker — only the auto-generated
+    # headline above it is regenerated
+    manual = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            old = f.read()
+        if MANUAL_MARKER in old:
+            manual = old.split(MANUAL_MARKER, 1)[1]
+    with open(path, "w") as f:
+        f.write(md + manual)
 
 
 if __name__ == "__main__":
