@@ -79,16 +79,22 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
     array<long> natively, and the same key is computable in an
     independent SQL oracle (no Spark-only xxhash64)."""
     rows = n_hashes // bands
-    pieces = []
-    for b in range(bands):
-        cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
-        pieces.append(
-            sig.select(F.col(id_col), F.lit(b).alias("band"),
-                       F.array(*cols).alias("bucket"))
+    # ONE explode over a per-row band array, not a union of `bands`
+    # projections of the signature subtree: a union re-plans the final
+    # aggregate of the (shuffled) signature computation once per band,
+    # while the explode evaluates the upstream exactly once
+    band_arr = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.array(*[
+                F.col(f"h{b * rows + r}") for r in range(rows)
+            ]).alias("bucket"),
         )
-    banded = pieces[0]
-    for p in pieces[1:]:
-        banded = banded.unionByName(p)
+        for b in range(bands)
+    ])
+    banded = sig.select(
+        F.col(id_col), F.explode(band_arr).alias("_bb")
+    ).select(id_col, "_bb.band", "_bb.bucket")
     a = banded.alias("a")
     b_ = banded.alias("b")
     pairs = a.join(
@@ -141,20 +147,21 @@ def hamming_near_pairs(sim: DataFrame, id_col: str = "doc_id",
     fell in the prefix and is gone."""
     n_bands = max_hamming + 1
     bounds = [round(i * bits / n_bands) for i in range(n_bands + 1)]
-    pieces = []
-    for b in range(n_bands):
-        lo, hi = bounds[b], bounds[b + 1]
-        mask = (1 << (hi - lo)) - 1
-        key = F.expr(f"(simhash >> {lo}) & {mask}")
-        pieces.append(
-            sim.select(
-                F.col(id_col), F.col("simhash"),
-                F.lit(b).alias("band"), key.alias("bkey"),
-            )
+    # one explode, not a union of n_bands projections of the (shuffled)
+    # simhash subtree — see lsh_candidate_pairs
+    band_arr = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.expr(
+                f"(simhash >> {bounds[b]}) & "
+                f"{(1 << (bounds[b + 1] - bounds[b])) - 1}"
+            ).alias("bkey"),
         )
-    banded = pieces[0]
-    for p in pieces[1:]:
-        banded = banded.unionByName(p)
+        for b in range(n_bands)
+    ])
+    banded = sim.select(
+        F.col(id_col), F.col("simhash"), F.explode(band_arr).alias("_bb")
+    ).select(id_col, "simhash", "_bb.band", "_bb.bkey")
     a, b_ = banded.alias("a"), banded.alias("b")
     return (
         a.join(
