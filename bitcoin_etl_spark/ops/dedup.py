@@ -13,6 +13,22 @@ from pyspark.sql import DataFrame, functions as F
 from .text import fingerprint, tokenize
 
 
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition UP to the cluster's default parallelism before a
+    row-amplifying explode, but never shuffle an already-well-partitioned
+    input DOWN. The dedup operators multiply each doc into 50-200+
+    shingle/token/bit rows and then hash every one — if the source is a
+    single small file (one row-group), the entire pipeline otherwise runs
+    as ONE task regardless of cluster size. One narrow shuffle of the
+    un-exploded rows is orders of magnitude cheaper than single-threading
+    the amplified work."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, *[F.col(c) for c in cols])
+    return df
+
+
 def _h32(col, seed: int):
     """Deterministic 32-bit hash from md5 (engine-portable: the same
     value is computable in DuckDB for oracles)."""
@@ -27,7 +43,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     keep-min id; map-side partial agg handles duplicate-heavy skew."""
     f = fingerprint(F.col(text_col), prefix_tokens)
     return (
-        df.withColumn("fingerprint", f)
+        _spread(df, id_col).withColumn("fingerprint", f)
         .groupBy("fingerprint")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -55,7 +71,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     32-bit hash functions (its 8-hex chunks), so the dominant cost —
     md5 per shingle — is n_hashes/4, and every chunk is identically
     computable in a SQL oracle (substr of the same md5 hex)."""
-    sh = df.select(
+    sh = _spread(df, id_col).select(
         F.col(id_col), F.explode(_shingles(text_col, shingle_k)).alias("sh")
     )
     n_md5 = (n_hashes + 3) // 4
@@ -114,7 +130,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     majority vote of token-hash bit *b*. Implemented as explode(token) ×
     explode(bit) → signed vote sum → bit reassembly — three narrow ops
     and one partial-agg shuffle; no UDFs."""
-    toks = df.select(
+    toks = _spread(df, id_col).select(
         F.col(id_col),
         F.explode(tokenize(F.col(text_col))).alias("tok"),
     ).withColumn("th", _h32(F.col("tok"), 0))
@@ -230,7 +246,7 @@ def ngram_jaccard_pairs(df: DataFrame, candidates: DataFrame | None,
             "a shingle shared by f docs costs f^2 join rows — one hot "
             "boilerplate shingle can dominate the whole job"
         )
-    sh = df.select(
+    sh = _spread(df, id_col).select(
         F.col(id_col), F.explode(_shingles(text_col, shingle_k)).alias("sh")
     ).distinct()
     if max_doc_freq is not None:

@@ -783,7 +783,11 @@ def dedup_minhash_lsh(spark, sf_dir):
     The candidate-pair join is an equi-join on the signature, so Catalyst
     shuffles only signatures, never the pairwise cross product —
     the property that keeps this runnable at 100 TB."""
-    docs = load(spark, sf_dir, "documents")
+    from ..ops.dedup import _spread
+
+    # spread before the 50-200x shingle explode: a single-row-group
+    # source otherwise pins the whole md5 pipeline to ONE task
+    docs = _spread(load(spark, sf_dir, "documents"), "doc_id")
     ws = F.split(F.col("text"), " ")
     shingles = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(ws) - 2, F.lit(0))),
