@@ -248,3 +248,22 @@ def test_greedy_pack_invariants(spark, docs):
     a = pdf.sort_values("doc_id").reset_index(drop=True)
     b = again.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_cosine_fast_matches_exact(spark):
+    """The Arrow/numpy production scorer must agree with the exact
+    engine-portable cosine: identical top-k ids+ranks, scores within
+    1e-9 (numpy pairwise summation vs sequential fold)."""
+    from bitcoin_etl_spark.ops.similarity import cosine_topk, cosine_topk_fast
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float((i * 37) % 97) / 97.0 for i in range(64)]
+    exact = {r["vec_id"]: (r["rank"], r["cos"])
+             for r in cosine_topk(e, q, k=20).collect()}
+    fast = {r["vec_id"]: (r["rank"], r["cos"])
+            for r in cosine_topk_fast(e, q, k=20).collect()}
+    assert set(exact) == set(fast)
+    for vid, (rk, cos) in exact.items():
+        frk, fcos = fast[vid]
+        assert frk == rk
+        assert abs(fcos - cos) < 1e-9
