@@ -52,6 +52,13 @@ HEADLINE_QUERIES = [
     # correct
     "dedup_lsh_banded",
     "dedup_components",
+    # char-level winnowing fingerprint pairs (the third, tokenization-
+    # independent member of the near-dup family; exercises the
+    # materialize-then-window projection split)
+    "dedup_winnow_pairs",
+    # Arrow-vectorized ANN scan beside the exact one — the bench carries
+    # the production-vs-reference scorer A/B every round
+    "ann_cosine_topk_fast",
 ]
 
 CACHE_ROOT = os.environ.get(

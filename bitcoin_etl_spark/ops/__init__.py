@@ -8,7 +8,9 @@ decode stubs. Several are also exposed as oracle-checked queries in
 ``plans.queries``.
 """
 
-from .text import tokenize, quality_stats, langid_scores, fingerprint  # noqa: F401
+from .text import (  # noqa: F401
+    tokenize, quality_stats, langid_scores, fingerprint, winnow_fingerprints,
+)
 from .dedup import (  # noqa: F401
     connected_components,
     dedup_keep_policy,
@@ -18,6 +20,7 @@ from .dedup import (  # noqa: F401
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
+    winnow_candidate_pairs,
 )
 from .similarity import (  # noqa: F401
     cosine_topk,

@@ -54,12 +54,19 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def _shingles(text_col: str, k: int = 3):
     ws = tokenize(F.col(text_col))
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(ws) - (k - 1), F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(ws, i + j) for j in range(k)]
+    n = F.size(ws) - (k - 1)
+    # sequence(1, n) runs BACKWARDS ([1, 0]) for n <= 0, so a doc with
+    # fewer than k tokens must short-circuit to an empty shingle array
+    # or the out-of-range element_at throws under ANSI mode
+    return F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, i + j) for j in range(k)]
+            ),
         ),
-    )
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
@@ -290,6 +297,57 @@ def _ratio_ints(x: float, max_den: int = 1000) -> tuple[int, int]:
 
     fr = Fraction(x).limit_denominator(max_den)
     return fr.numerator, fr.denominator
+
+
+def winnow_candidate_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 32,
+                           w: int = 16, min_shared: int = 2,
+                           max_doc_freq: int | None | str = "auto"
+                           ) -> DataFrame:
+    """MOSS-style near-dup candidates from winnowing fingerprints
+    (`ops.text.winnow_fingerprints`): two docs pair when they share
+    >= ``min_shared`` selected k-gram hashes — i.e. (with overwhelming
+    probability) >= min_shared disjoint-or-not shared substrings of
+    length >= k, since winnowing guarantees any shared run of
+    k + w - 1 chars selects a common fingerprint. Shape: narrow
+    fingerprint map (NO shuffle) → explode → equi-join on the hash →
+    count aggregate — same O(docs x fps) scale profile as banded LSH,
+    and the same f² hot-key hazard, so complete mode applies the
+    ``DEFAULT_MAX_DOC_FREQ`` stop-fingerprint cap by default exactly
+    like `ngram_jaccard_pairs`. Char-level (robust to tokenization)
+    where MinHash/Jaccard here are word-shingle-level; ``k``/``w``
+    tune selectivity — 8/4 is the classic plagiarism-detector setting,
+    the 32/16 default asks for a ~47-char shared run, the right bar for
+    template/boilerplate near-dups in a web corpus."""
+    import logging
+
+    from .text import winnow_fingerprints
+
+    log = logging.getLogger(__name__)
+    if max_doc_freq == "auto":
+        max_doc_freq = DEFAULT_MAX_DOC_FREQ
+    elif max_doc_freq is None:
+        log.warning(
+            "winnow_candidate_pairs WITHOUT a stop-fingerprint cap: a "
+            "fingerprint shared by f docs costs f^2 join rows — one hot "
+            "boilerplate run can dominate the whole job"
+        )
+    fp = winnow_fingerprints(_spread(df, id_col), text_col, id_col, k, w)
+    ex = fp.select(F.col(id_col), F.explode("fps").alias("fp"))
+    if max_doc_freq is not None:
+        freq = ex.groupBy("fp").agg(F.count("*").alias("_df"))
+        ex = ex.join(
+            freq.filter(F.col("_df") <= max_doc_freq), "fp"
+        ).select(id_col, "fp")
+    a = ex.select(F.col(id_col).alias("id_a"), "fp")
+    b = ex.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",

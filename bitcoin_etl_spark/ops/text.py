@@ -58,6 +58,111 @@ def langid_scores(df: DataFrame, text_col: str = "text",
     return out.withColumn("predicted_lang", lang_expr)
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Intra-document repetition signals (the Gopher-rules repetition
+    family, Rae et al. 2021 §A1.1): per doc, the occurrence count of
+    the most frequent word 2-gram and the duplicated-3-gram counts —
+    the filters that catch boilerplate/keyword-stuffed pages that
+    per-token quality stats miss. Emitted as raw counts (ratio =
+    top2_count/n_2grams etc. left to the caller, per registry
+    conventions). Shape: explode word n-grams → (doc, gram) partial-agg
+    → per-doc agg — two map-side-combining shuffles both partitioned by
+    doc_id, no windows, no skew hazard beyond a pathological single doc
+    (bounded by doc length, not corpus size)."""
+    from .dedup import _shingles
+
+    base = df.select(F.col(id_col))
+
+    def per_doc(k: int, tag: str) -> DataFrame:
+        grams = df.select(
+            F.col(id_col), F.explode(_shingles(text_col, k)).alias("g")
+        )
+        freq = grams.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+        return freq.groupBy(id_col).agg(
+            F.sum("c").cast("long").alias(f"n_{tag}"),
+            F.count("*").cast("long").alias(f"uniq_{tag}"),
+            F.max("c").cast("long").alias(f"top_{tag}"),
+        )
+
+    out = base.join(per_doc(2, "gram2"), id_col, "left").join(
+        per_doc(3, "gram3"), id_col, "left"
+    )
+    return out.select(
+        id_col,
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in ("n_gram2", "uniq_gram2", "top_gram2",
+                      "n_gram3", "uniq_gram3", "top_gram3")
+        ],
+    )
+
+
+def kgram_hashes(text: Column, k: int = 8) -> Column:
+    """32-bit hash of the character k-gram at every position of ``text``
+    (lowercased), as ``array<long>``. Classic implementations compute
+    this with a Rabin-Karp ROLLING hash (O(1) per position); here each
+    position goes through the vectorized md5 kernel instead — same
+    selection semantics, stays JVM-side in whole-stage codegen, and is
+    identically computable in a SQL oracle (``substr(md5(..),1,8)``).
+    A corpus where per-position md5 ever dominates can swap in a numpy
+    rolling hash via ``mapInPandas`` without touching the winnow step."""
+    s = F.lower(text)
+    n = F.length(s) - (k - 1)
+    # guard: sequence(1, n) RUNS BACKWARDS for n <= 0 in Spark
+    grams = F.when(
+        n >= 1,
+        F.transform(F.sequence(F.lit(1), n),
+                    lambda i: F.substring(s, i, F.lit(k))),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    return F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+    )
+
+
+def winnow(hashes: Column, w: int = 4) -> Column:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03): slide a window of ``w`` consecutive k-gram hashes and
+    keep the minimum of each window; the distinct selected hashes are
+    the document's fingerprints. Guarantee: any shared substring of
+    length >= k + w - 1 between two documents yields at least one shared
+    fingerprint, while only ~2/(w+1) of positions are kept. Pure Column
+    expression — a narrow map with NO shuffle, so fingerprinting 100 TB
+    is embarrassingly parallel; downstream fingerprint equi-joins are
+    the only shuffles."""
+    m = F.size(hashes) - (w - 1)
+    sel = F.when(
+        m >= 1,
+        F.transform(F.sequence(F.lit(1), m),
+                    lambda i: F.array_min(F.slice(hashes, i, w))),
+    ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
+    return F.array_sort(F.array_distinct(sel))
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 8,
+                        w: int = 4) -> DataFrame:
+    """Per-doc winnowing fingerprints: (id, n_grams, fps array<long>).
+    The plagiarism-detection / near-dup primitive — explode ``fps`` and
+    equi-join on the hash to find documents sharing >= k+w-1 chars.
+
+    The hash array is materialized in its OWN projection before the
+    window pass: handing the raw `kgram_hashes` expression to `winnow`
+    inlines the whole md5-per-position tree into every per-window
+    `slice`, re-evaluating all n hashes n times per row (measured ~80x
+    slower at k=32). Referenced more than once and non-cheap, the
+    aliased array survives CollapseProject, so each row hashes once and
+    the sliding windows read an attribute."""
+    hdf = df.select(
+        F.col(id_col), kgram_hashes(F.col(text_col), k).alias("_h")
+    )
+    return hdf.select(
+        F.col(id_col),
+        F.size("_h").cast("long").alias("n_grams"),
+        winnow(F.col("_h"), w).alias("fps"),
+    )
+
+
 def fingerprint(text: Column, prefix_tokens: int | None = None) -> Column:
     """Deterministic document fingerprint: md5 over the (optionally
     prefix-truncated) token stream — the content-hash PK used by exact

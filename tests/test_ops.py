@@ -250,6 +250,53 @@ def test_greedy_pack_invariants(spark, docs):
     assert a.equals(b)
 
 
+def test_repetition_stats_known_doc(spark):
+    """Hand-computed n-gram repetition counts: 'a b a b a b' has 2-grams
+    [ab, ba, ab, ba, ab] (n=5, uniq=2, top=3) and 3-grams
+    [aba, bab, aba, bab] (n=4, uniq=2, top=2); a single-token doc has
+    zero n-grams, not an error."""
+    from bitcoin_etl_spark.ops.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [("r", "a b a b a b"), ("u", "all words fully unique"), ("s", "one")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert (out["r"]["n_gram2"], out["r"]["uniq_gram2"],
+            out["r"]["top_gram2"]) == (5, 2, 3)
+    assert (out["r"]["n_gram3"], out["r"]["uniq_gram3"],
+            out["r"]["top_gram3"]) == (4, 2, 2)
+    assert (out["u"]["n_gram2"], out["u"]["uniq_gram2"],
+            out["u"]["top_gram2"]) == (3, 3, 1)
+    assert (out["s"]["n_gram2"], out["s"]["n_gram3"]) == (0, 0)
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing theorem (Schleimer et al.): documents sharing a
+    substring of length >= k + w - 1 share at least one fingerprint;
+    and the empty/short-doc edge yields an empty fingerprint set, not
+    an error."""
+    from bitcoin_etl_spark.ops.text import winnow_fingerprints
+
+    k, w = 8, 4
+    common = "zqxjvkwp" * 3  # 24 chars >> k + w - 1 = 11, no English 8-grams
+    rows = [
+        ("a", f"left context {common} right tail one"),
+        ("b", f"completely different prefix {common} and suffix"),
+        ("c", "unrelated document with no overlap at all here"),
+        ("d", "tiny"),  # shorter than k -> zero grams, empty fps
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           winnow_fingerprints(df, k=k, w=w).collect()}
+    assert set(out["a"]["fps"]) & set(out["b"]["fps"]), \
+        "shared >=k+w-1 substring must share a fingerprint"
+    assert not set(out["a"]["fps"]) & set(out["d"]["fps"])
+    assert out["d"]["n_grams"] == 0 and out["d"]["fps"] == []
+    # selection keeps ~2/(w+1) of positions: a strict subset of grams
+    assert 0 < len(out["c"]["fps"]) < out["c"]["n_grams"]
+
+
 def test_cosine_fast_matches_exact(spark):
     """The Arrow/numpy production scorer must agree with the exact
     engine-portable cosine: identical top-k ids+ranks, scores within
