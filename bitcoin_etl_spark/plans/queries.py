@@ -2390,6 +2390,235 @@ def dedup_winnow_pairs(spark, sf_dir):
     return winnow_candidate_pairs(docs, k=32, w=16, min_shared=2)
 
 
+def _quality_verdicts(docs: DataFrame) -> DataFrame:
+    """Per-doc C4/Gopher-rule flags + `keep` conjunction (see
+    `text_quality_filter` for the rule list). Shared by the standalone
+    filter query and the corpus_clean_pipeline composite."""
+    from ..ops.text import repetition_stats, tokenize
+
+    toks = tokenize(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.aggregate(
+            toks, F.lit(0), lambda a, t: a + F.length(t)
+        ).cast("long").alias("sum_len"),
+        F.size(
+            F.filter(
+                toks,
+                lambda t: F.lower(t).isin("the", "a", "of", "to", "and"),
+            )
+        ).cast("long").alias("n_stop"),
+    )
+    rep = repetition_stats(docs)
+    j = base.join(rep, "doc_id")
+    r_len = (F.col("n_tok") >= 10) & (F.col("n_tok") <= 1000)
+    r_meanlen = (3 * F.col("n_tok") <= F.col("sum_len")) & (
+        F.col("sum_len") <= 10 * F.col("n_tok")
+    )
+    r_stop = F.col("n_stop") >= 2
+    r_rep2 = (F.col("n_gram2") == 0) | (
+        F.col("top_gram2") * 5 <= F.col("n_gram2")
+    )
+    r_rep3 = (F.col("n_gram3") == 0) | (
+        (F.col("n_gram3") - F.col("uniq_gram3")) * 5 <= F.col("n_gram3")
+    )
+    return j.select(
+        "doc_id",
+        r_len.alias("r_len"),
+        r_meanlen.alias("r_meanlen"),
+        r_stop.alias("r_stop"),
+        r_rep2.alias("r_rep2"),
+        r_rep3.alias("r_rep3"),
+        (r_len & r_meanlen & r_stop & r_rep2 & r_rep3).alias("keep"),
+    )
+
+
+_QUALITY_CTES = r"""
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tok,
+             CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+                  AS BIGINT) AS sum_len,
+             CAST(len(list_filter(t,
+                    x -> lower(x) IN ('the','a','of','to','and')))
+                  AS BIGINT) AS n_stop
+      FROM toks
+    ),
+    qg2 AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, greatest(len(t) - 1, 0)),
+               i -> t[i] || ' ' || t[i+1])) AS g
+      FROM toks
+    ),
+    qg3 AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      FROM toks
+    ),
+    qf2 AS (SELECT doc_id, g, count(*) AS c FROM qg2 GROUP BY 1, 2),
+    qf3 AS (SELECT doc_id, g, count(*) AS c FROM qg3 GROUP BY 1, 2),
+    qs2 AS (SELECT doc_id, sum(c) AS n_gram2, max(c) AS top_gram2
+            FROM qf2 GROUP BY 1),
+    qs3 AS (SELECT doc_id, sum(c) AS n_gram3, count(*) AS uniq_gram3
+            FROM qf3 GROUP BY 1),
+    qj AS (
+      SELECT base.*,
+             coalesce(n_gram2, 0) AS n_gram2,
+             coalesce(top_gram2, 0) AS top_gram2,
+             coalesce(n_gram3, 0) AS n_gram3,
+             coalesce(uniq_gram3, 0) AS uniq_gram3
+      FROM base LEFT JOIN qs2 USING (doc_id) LEFT JOIN qs3 USING (doc_id)
+    ),
+    q AS (
+      SELECT doc_id,
+             (n_tok >= 10 AND n_tok <= 1000) AS r_len,
+             (3 * n_tok <= sum_len AND sum_len <= 10 * n_tok) AS r_meanlen,
+             (n_stop >= 2) AS r_stop,
+             (n_gram2 = 0 OR top_gram2 * 5 <= n_gram2) AS r_rep2,
+             (n_gram3 = 0 OR (n_gram3 - uniq_gram3) * 5 <= n_gram3) AS r_rep3,
+             ((n_tok >= 10 AND n_tok <= 1000)
+              AND (3 * n_tok <= sum_len AND sum_len <= 10 * n_tok)
+              AND (n_stop >= 2)
+              AND (n_gram2 = 0 OR top_gram2 * 5 <= n_gram2)
+              AND (n_gram3 = 0 OR (n_gram3 - uniq_gram3) * 5 <= n_gram3))
+               AS keep
+      FROM qj
+    )
+"""
+
+
+@_q(
+    "text_quality_filter",
+    f"""
+    WITH {_QUALITY_CTES}
+    SELECT doc_id, r_len, r_meanlen, r_stop, r_rep2, r_rep3, keep FROM q
+    """,
+)
+def text_quality_filter(spark, sf_dir):
+    """Composite corpus-cleaning verdict per doc — the C4/Gopher-rule
+    pattern (Raffel et al. 2020; Rae et al. 2021) with every rule in
+    integer arithmetic so the keep/drop bit is float-free and oracle-
+    exact: token count in [10, 1000], mean token length in [3, 10]
+    (as 3·n <= sum_len <= 10·n), >= 2 stopword hits, top 2-gram <= 20%
+    of 2-grams, duplicated 3-grams <= 20% of 3-grams. Emits each rule
+    flag plus the conjunction, so a pipeline can both filter and report
+    drop reasons. One tokenizer (whitespace regex) feeds all rules."""
+    return _quality_verdicts(load(spark, sf_dir, "documents"))
+
+
+def _corpus_clean_sql() -> str:
+    """Oracle for the end-to-end corpus-cleaning composite: quality
+    CTEs (shared with text_quality_filter) → winnow pairs over kept
+    docs → recursive-CTE transitive closure → keep-min canonical."""
+    return f"""
+    WITH RECURSIVE {_QUALITY_CTES},
+    kept AS (
+      SELECT d.doc_id, lower(d.text) AS s
+      FROM documents d JOIN q USING (doc_id) WHERE q.keep
+    ),
+    wg AS (
+      SELECT doc_id, CASE WHEN length(s) - 31 >= 1 THEN
+               list_transform(generate_series(1, length(s) - 31),
+                 i -> ('0x' || substr(md5(substr(s, i, 32)), 1, 8))
+                        ::UBIGINT::BIGINT)
+             ELSE [] END AS h
+      FROM kept
+    ),
+    wsel AS (
+      SELECT doc_id, CASE WHEN len(h) - 15 >= 1 THEN
+               list_transform(generate_series(1, len(h) - 15),
+                 i -> list_min(h[i:i+15]))
+             ELSE [] END AS sel
+      FROM wg
+    ),
+    wfp AS (SELECT doc_id, unnest(list_distinct(sel)) AS fp FROM wsel),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM wfp a JOIN wfp b USING (fp)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    cc AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+    canon AS (
+      SELECT k.doc_id, coalesce(cc.component, k.doc_id) AS component
+      FROM kept k LEFT JOIN cc ON cc.node = k.doc_id
+    )
+    SELECT d.doc_id,
+           q.keep AS quality_keep,
+           canon.component AS component,
+           coalesce(q.keep AND canon.component = d.doc_id, FALSE)
+             AS final_keep
+    FROM documents d
+    JOIN q USING (doc_id)
+    LEFT JOIN canon USING (doc_id)
+    """
+
+
+@_q("corpus_clean_pipeline", None)
+def corpus_clean_pipeline(spark, sf_dir):
+    """The end-to-end corpus-cleaning flow a training-data pipeline
+    runs, as ONE query: C4/Gopher quality filtering → char-level
+    winnowing near-dup pairs over the survivors → connected-components
+    canonicalization → per-doc verdict (quality_keep, component,
+    final_keep = kept AND canonical). Every stage is the already-
+    oracle-checked operator (`_quality_verdicts`,
+    `winnow_candidate_pairs`, `dedup_keep_policy`); the oracle
+    recomputes the whole flow independently, recursive closure
+    included, so the composition — filter-before-pair-generation,
+    left-join semantics for dropped docs — is verified, not just the
+    parts. Scale shape: the filter is narrow + two doc-partitioned
+    aggs; pair generation and components are the banded-LSH-style
+    equi-joins; nothing new materializes beyond the stages already
+    measured in the bench."""
+    from ..ops.dedup import dedup_keep_policy, winnow_candidate_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    q = _quality_verdicts(docs)
+    kept = docs.join(
+        q.filter(F.col("keep")).select("doc_id"), "doc_id"
+    )
+    pairs = winnow_candidate_pairs(kept, k=32, w=16, min_shared=2)
+    kp = dedup_keep_policy(kept, pairs)
+    out = q.select(
+        "doc_id", F.col("keep").alias("quality_keep")
+    ).join(
+        kp.select(
+            "doc_id", "component", F.col("keep").alias("_canonical")
+        ),
+        "doc_id",
+        "left",
+    )
+    return out.select(
+        "doc_id",
+        "quality_keep",
+        "component",
+        F.coalesce(
+            F.col("quality_keep") & F.col("_canonical"), F.lit(False)
+        ).alias("final_keep"),
+    )
+
+
+ORACLES["corpus_clean_pipeline"] = _corpus_clean_sql()
+
+
 @_q(
     "text_repetition_stats",
     r"""
