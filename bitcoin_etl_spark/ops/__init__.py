@@ -13,6 +13,7 @@ from .text import (  # noqa: F401
 )
 from .dedup import (  # noqa: F401
     connected_components,
+    contamination_pairs,
     dedup_keep_policy,
     exact_dedup,
     hamming_near_pairs,

@@ -299,6 +299,33 @@ def _ratio_ints(x: float, max_den: int = 1000) -> tuple[int, int]:
     return fr.numerator, fr.denominator
 
 
+def contamination_pairs(corpus: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 13) -> DataFrame:
+    """Train/eval decontamination (the published GPT-3 appendix-C rule:
+    flag any training doc sharing a word 13-gram with an evaluation
+    doc): distinct word k-grams per side, equi-join on the gram,
+    count per (corpus, benchmark) pair. The benchmark side is tiny in
+    practice — Catalyst broadcast-joins it under the AQE threshold, so
+    the corpus side streams map-side with NO shuffle of corpus grams;
+    with a large benchmark it degrades gracefully to the standard
+    shingle equi-join. Output: (corpus_id, bench_id, n_shared) — the
+    caller drops or masks flagged corpus docs."""
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode(_shingles(text_col, k)).alias("sh"),
+    ).distinct()
+    b = benchmark.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(_shingles(text_col, k)).alias("sh"),
+    ).distinct()
+    return (
+        c.join(b, "sh")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+
+
 def winnow_candidate_pairs(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", k: int = 32,
                            w: int = 16, min_shared: int = 2,
@@ -332,7 +359,22 @@ def winnow_candidate_pairs(df: DataFrame, text_col: str = "text",
             "fingerprint shared by f docs costs f^2 join rows — one hot "
             "boilerplate run can dominate the whole job"
         )
-    fp = winnow_fingerprints(_spread(df, id_col), text_col, id_col, k, w)
+    # materialize the per-doc fingerprint frame ONCE, at a plan barrier
+    # BEFORE the explode. Two independent optimizer hazards force this:
+    # (1) reuse — the exploded table feeds the doc-frequency cap AND
+    # both self-join sides, and without a barrier each subtree re-runs
+    # the whole fingerprint computation (the hazard connected_components
+    # checkpoints its edge list for); (2) expression substitution —
+    # InferFiltersFromGenerate puts `size(fps) > 0` under the explode
+    # and predicate pushdown then inlines the ENTIRE winnow+kgram tree
+    # into that filter, in the nested form that re-evaluates the hash
+    # array once per window: O(positions²) md5 per row (observed as a
+    # single task pinned in Substring/ArrayTransform for minutes at
+    # sf0.1). The checkpointed frame is one row per doc — tiny at any
+    # SF — and downstream sees only materialized arrays.
+    fp = winnow_fingerprints(
+        _spread(df, id_col), text_col, id_col, k, w
+    ).localCheckpoint()
     ex = fp.select(F.col(id_col), F.explode("fps").alias("fp"))
     if max_doc_freq is not None:
         freq = ex.groupBy("fp").agg(F.count("*").alias("_df"))

@@ -99,15 +99,23 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
 
 
 def kgram_hashes(text: Column, k: int = 8) -> Column:
-    """32-bit hash of the character k-gram at every position of ``text``
-    (lowercased), as ``array<long>``. Classic implementations compute
-    this with a Rabin-Karp ROLLING hash (O(1) per position); here each
-    position goes through the vectorized md5 kernel instead — same
-    selection semantics, stays JVM-side in whole-stage codegen, and is
-    identically computable in a SQL oracle (``substr(md5(..),1,8)``).
-    A corpus where per-position md5 ever dominates can swap in a numpy
-    rolling hash via ``mapInPandas`` without touching the winnow step."""
-    s = F.lower(text)
+    """32-bit hash of the character k-gram at every position of ``text``,
+    as ``array<long>``. Classic implementations compute this with a
+    Rabin-Karp ROLLING hash (O(1) per position); here each position goes
+    through the vectorized md5 kernel instead — same selection
+    semantics, stays JVM-side, and is identically computable in a SQL
+    oracle (``substr(md5(..),1,8)``). A corpus where per-position md5
+    ever dominates can swap in a numpy rolling hash via ``mapInPandas``
+    without touching the winnow step.
+
+    CALLER CONTRACT: pass an already-normalized (lowercased) ATTRIBUTE,
+    not a nested expression — anything passed here is inlined into the
+    per-position lambda and re-evaluated ~length(text) times per row
+    (an embedded `lower(text)` alone measured ~40 ms/doc; a thread dump
+    showed the executor living inside UTF8String.toLowerCaseAscii).
+    `winnow_fingerprints` materializes the normalized string in its own
+    projection for exactly this reason."""
+    s = text
     n = F.length(s) - (k - 1)
     # guard: sequence(1, n) RUNS BACKWARDS for n <= 0 in Spark
     grams = F.when(
@@ -146,15 +154,18 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     The plagiarism-detection / near-dup primitive — explode ``fps`` and
     equi-join on the hash to find documents sharing >= k+w-1 chars.
 
-    The hash array is materialized in its OWN projection before the
-    window pass: handing the raw `kgram_hashes` expression to `winnow`
-    inlines the whole md5-per-position tree into every per-window
-    `slice`, re-evaluating all n hashes n times per row (measured ~80x
-    slower at k=32). Referenced more than once and non-cheap, the
-    aliased array survives CollapseProject, so each row hashes once and
-    the sliding windows read an attribute."""
-    hdf = df.select(
-        F.col(id_col), kgram_hashes(F.col(text_col), k).alias("_h")
+    Every expensive intermediate gets its OWN projection: the lowered
+    text before hashing (an inlined `lower()` re-runs per k-gram
+    position — measured ~40 ms/doc of pure toLowerCase), and the hash
+    array before the window pass (an inlined hash tree re-runs per
+    window — measured ~80x at k=32). Referenced more than once and
+    non-cheap, each alias survives CollapseProject, so per row the text
+    lowers once, hashes once, and the sliding windows read attributes."""
+    sdf = df.select(
+        F.col(id_col), F.lower(F.col(text_col)).alias("_s")
+    )
+    hdf = sdf.select(
+        F.col(id_col), kgram_hashes(F.col("_s"), k).alias("_h")
     )
     return hdf.select(
         F.col(id_col),

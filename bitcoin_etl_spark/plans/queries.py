@@ -2620,6 +2620,87 @@ ORACLES["corpus_clean_pipeline"] = _corpus_clean_sql()
 
 
 @_q(
+    "decontaminate_overlap",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(generate_series(1, greatest(len(t) - 12, 0)),
+                              i -> array_to_string(t[i:i+12], ' ')))) AS sh
+      FROM toks
+    )
+    SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM (SELECT * FROM sh WHERE doc_id % 10 <> 0) c
+    JOIN (SELECT * FROM sh WHERE doc_id % 10 = 0) b USING (sh)
+    GROUP BY 1, 2
+    """,
+)
+def decontaminate_overlap(spark, sf_dir):
+    """Train/eval decontamination (GPT-3 appendix-C 13-gram rule —
+    `ops.dedup.contamination_pairs`): every 10th doc plays the held-out
+    benchmark, the rest the training corpus; output is the flagged
+    (corpus, benchmark, shared-13-gram-count) pairs a pipeline would
+    drop or mask. The benchmark side broadcasts; corpus grams never
+    shuffle."""
+    from ..ops.dedup import contamination_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return contamination_pairs(corpus, bench, k=13)
+
+
+@_q(
+    "split_assign",
+    """
+    SELECT doc_id,
+           ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+             ::UBIGINT::BIGINT % 100 AS bucket,
+           CASE
+             WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                  1, 8))::UBIGINT::BIGINT % 100 < 80
+               THEN 'train'
+             WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                  1, 8))::UBIGINT::BIGINT % 100 < 90
+               THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+)
+def split_assign(spark, sf_dir):
+    """Deterministic hash-based train/val/test assignment (80/10/10):
+    bucket = md5('split:'||id) mod 100 — reproducible across engines,
+    runs, and corpus growth (a doc's split never changes when other
+    docs are added, unlike randomSplit/sampling), and a pure narrow
+    map at any scale. The salt prefix decorrelates the split from any
+    other md5-derived key in the pipeline (fingerprints, minhash)."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"),
+                               F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % 100
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+         .when(bucket < 90, "val")
+         .otherwise("test")
+         .alias("split"),
+    )
+
+
+@_q(
     "text_repetition_stats",
     r"""
     WITH toks AS (
