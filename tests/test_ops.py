@@ -297,6 +297,20 @@ def test_winnow_shared_substring_guarantee(spark):
     assert 0 < len(out["c"]["fps"]) < out["c"]["n_grams"]
 
 
+def test_winnow_pairs_plan_is_barriered(spark, docs):
+    """Regression pin for the O(positions²) explode plan: the pair
+    join must consume the CHECKPOINTED fingerprint frame, so its
+    optimized plan contains no inline md5/winnow expression tree (the
+    un-barriered plan carried 7 copies via InferFiltersFromGenerate +
+    predicate pushdown and ran minutes on one task at sf0.1)."""
+    from bitcoin_etl_spark.ops.dedup import winnow_candidate_pairs
+
+    pairs = winnow_candidate_pairs(docs.limit(50), k=32, w=16)
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "md5" not in plan
+    assert "transform" not in plan
+
+
 def test_cosine_fast_matches_exact(spark):
     """The Arrow/numpy production scorer must agree with the exact
     engine-portable cosine: identical top-k ids+ranks, scores within
