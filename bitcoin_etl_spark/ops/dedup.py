@@ -13,6 +13,15 @@ from pyspark.sql import DataFrame, functions as F
 from .text import fingerprint, tokenize
 
 
+# Plan nodes whose presence means the frame's partitioning is governed by
+# spark.sql.shuffle.partitions (a shuffle already happened or is coming),
+# not by the input file layout — _spread must not touch those.
+_SHUFFLED_PLAN_NODES = (
+    "Join", "Aggregate", "Sort", "Repartition", "Window", "Deduplicate",
+    "Union", "GlobalLimit",
+)
+
+
 def _spread(df: DataFrame, *cols: str) -> DataFrame:
     """Repartition UP to the cluster's default parallelism before a
     row-amplifying explode, but never shuffle an already-well-partitioned
@@ -21,10 +30,37 @@ def _spread(df: DataFrame, *cols: str) -> DataFrame:
     single small file (one row-group), the entire pipeline otherwise runs
     as ONE task regardless of cluster size. One narrow shuffle of the
     un-exploded rows is orders of magnitude cheaper than single-threading
-    the amplified work."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    the amplified work.
+
+    Only SCAN-STAGE inputs can be under-partitioned this way, so derived
+    frames (any join/aggregate/sort/... in the analyzed plan) are returned
+    untouched — their partitioning already comes from
+    ``spark.sql.shuffle.partitions``. This is decided from the LOGICAL
+    plan + file listing only: the earlier ``df.rdd.getNumPartitions()``
+    probe finalized the AQE plan and EXECUTED all upstream shuffle stages
+    as a separate job just to count partitions (a full extra run of the
+    upstream pipeline when called mid-DAG, e.g. on the quality-filter
+    output inside ``corpus_clean_pipeline``)."""
+    if df.isStreaming:
+        return df
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if any(node in plan for node in _SHUFFLED_PLAN_NODES):
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_parts = len(df.inputFiles())
+        if n_parts == 0:
+            # no leaf files: a cached relation or local/in-memory input.
+            # The plan is narrow (checked above), so the .rdd partition
+            # probe is safe here — there are no upstream shuffle stages
+            # for AQE finalization to execute.
+            n_parts = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    # n_files undercounts splits of large files; the false-positive cost
+    # is one narrow pre-explode shuffle, the false-negative cost is a
+    # single-task amplified pipeline — err toward spreading.
+    if 0 < n_parts < target:
         return df.repartition(target, *[F.col(c) for c in cols])
     return df
 
@@ -52,8 +88,21 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
-def _shingles(text_col: str, k: int = 3):
-    ws = tokenize(F.col(text_col))
+def _tokens_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Materialize the token array in its OWN projection before any
+    shingle lambda consumes it: a lambda body referencing the raw
+    ``split()`` expression re-evaluates the split once PER REFERENCE
+    (k element_at's + 2 size's ⇒ 5 evaluations per row; measured 7.5×
+    slower on the sf0.1 shingle scan). A bound column attribute is
+    evaluated once, and CollapseProject keeps the projection boundary
+    because the split is non-cheap and referenced more than once."""
+    return df.select(F.col(id_col), tokenize(F.col(text_col)).alias("_ws"))
+
+
+def _shingles_of(ws, k: int = 3):
+    """Word k-gram array from a MATERIALIZED token-array column (use
+    `_tokens_frame` — never pass a raw split() expression, see its
+    docstring)."""
     n = F.size(ws) - (k - 1)
     # sequence(1, n) runs BACKWARDS ([1, 0]) for n <= 0, so a doc with
     # fewer than k tokens must short-circuit to an empty shingle array
@@ -78,8 +127,9 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     32-bit hash functions (its 8-hex chunks), so the dominant cost —
     md5 per shingle — is n_hashes/4, and every chunk is identically
     computable in a SQL oracle (substr of the same md5 hex)."""
-    sh = _spread(df, id_col).select(
-        F.col(id_col), F.explode(_shingles(text_col, shingle_k)).alias("sh")
+    sh = _tokens_frame(_spread(df, id_col), text_col, id_col).select(
+        F.col(id_col),
+        F.explode(_shingles_of(F.col("_ws"), shingle_k)).alias("sh"),
     )
     n_md5 = (n_hashes + 3) // 4
     md5s = [
@@ -212,12 +262,21 @@ an uncapped hot shingle (boilerplate, empty-ish docs) is the one quadratic
 blowup in the dedup family. 10k² = 10^8 join rows per hot shingle is the
 most a healthy cluster absorbs without a skewed-straggler stage."""
 
+AUTO = "auto"
+"""Sentinel for ``max_doc_freq``: DEFAULT_MAX_DOC_FREQ in complete mode,
+no cap in candidate mode (where the join is already bounded). NOTE: since
+round 3 this is the DEFAULT for complete-mode ``ngram_jaccard_pairs`` and
+``winnow_candidate_pairs`` — a behavioral change vs round 2's uncapped
+default: pairs whose only shared shingles/fingerprints exceed the cap are
+no longer emitted. Pass ``max_doc_freq=None`` explicitly to restore the
+uncapped (f²-risk) behavior."""
+
 
 def ngram_jaccard_pairs(df: DataFrame, candidates: DataFrame | None,
                         text_col: str = "text", id_col: str = "doc_id",
                         shingle_k: int = 3,
                         min_jaccard: float = 0.8,
-                        max_doc_freq: int | None | str = "auto") -> DataFrame:
+                        max_doc_freq: int | None | str = AUTO) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs: |A∩B| via a shingle
     equi-join, |A∪B| from per-doc distinct counts. Never materializes
     the cross product.
@@ -239,7 +298,7 @@ def ngram_jaccard_pairs(df: DataFrame, candidates: DataFrame | None,
     import logging
 
     log = logging.getLogger(__name__)
-    if max_doc_freq == "auto":
+    if max_doc_freq == AUTO:
         max_doc_freq = DEFAULT_MAX_DOC_FREQ if candidates is None else None
         if max_doc_freq is not None:
             log.info(
@@ -253,14 +312,29 @@ def ngram_jaccard_pairs(df: DataFrame, candidates: DataFrame | None,
             "a shingle shared by f docs costs f^2 join rows — one hot "
             "boilerplate shingle can dominate the whole job"
         )
-    sh = _spread(df, id_col).select(
-        F.col(id_col), F.explode(_shingles(text_col, shingle_k)).alias("sh")
-    ).distinct()
+    # Per-doc `array_distinct` BEFORE the explode replaces the former
+    # post-explode `.distinct()`: shingle duplicates can only occur
+    # WITHIN a doc, so the per-doc dedup is exact — and it turns a full
+    # HashAggregate→Exchange→HashAggregate shuffle of the whole shingle
+    # stream into a narrow map. The one-row-per-doc frame is barriered
+    # (localCheckpoint) because it feeds the doc-frequency table, the
+    # per-doc sizes, AND both self-join sides — without the barrier each
+    # subtree re-runs tokenize+shingle from the scan.
+    per_doc = _tokens_frame(_spread(df, id_col), text_col, id_col).select(
+        F.col(id_col),
+        F.array_distinct(_shingles_of(F.col("_ws"), shingle_k)).alias("_shs"),
+    ).localCheckpoint()
+    sh = per_doc.select(F.col(id_col), F.explode("_shs").alias("sh"))
     if max_doc_freq is not None:
         freq = sh.groupBy("sh").agg(F.count("*").alias("_df"))
         sh = sh.join(freq.filter(F.col("_df") <= max_doc_freq), "sh").select(
             id_col, "sh"
         )
+        # the capped stream feeds sizes + both join sides: materialize it
+        # once so the freq aggregation + cap join run a single time
+        # instead of once per consumer (the shingle scan formerly
+        # appeared twice in the captured plan — BENCH/PLANS.md)
+        sh = sh.localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.toDF("id_a", "sh")
     b = sh.toDF("id_b", "sh")
@@ -307,18 +381,22 @@ def contamination_pairs(corpus: DataFrame, benchmark: DataFrame,
     doc): distinct word k-grams per side, equi-join on the gram,
     count per (corpus, benchmark) pair. The benchmark side is tiny in
     practice — Catalyst broadcast-joins it under the AQE threshold, so
-    the corpus side streams map-side with NO shuffle of corpus grams;
-    with a large benchmark it degrades gracefully to the standard
-    shingle equi-join. Output: (corpus_id, bench_id, n_shared) — the
-    caller drops or masks flagged corpus docs."""
-    c = corpus.select(
+    the corpus side streams map-side with NO shuffle of corpus grams:
+    k-gram duplicates can only occur WITHIN a doc, so the per-side
+    distinct is a per-doc ``array_distinct`` applied BEFORE the explode
+    (a narrow map), never a post-explode ``.distinct()`` (which was a
+    full HashAggregate→Exchange→HashAggregate of ~k× the corpus token
+    stream). With a large benchmark it degrades gracefully to the
+    standard shingle equi-join. Output: (corpus_id, bench_id, n_shared)
+    — the caller drops or masks flagged corpus docs."""
+    c = _tokens_frame(corpus, text_col, id_col).select(
         F.col(id_col).alias("corpus_id"),
-        F.explode(_shingles(text_col, k)).alias("sh"),
-    ).distinct()
-    b = benchmark.select(
+        F.explode(F.array_distinct(_shingles_of(F.col("_ws"), k))).alias("sh"),
+    )
+    b = _tokens_frame(benchmark, text_col, id_col).select(
         F.col(id_col).alias("bench_id"),
-        F.explode(_shingles(text_col, k)).alias("sh"),
-    ).distinct()
+        F.explode(F.array_distinct(_shingles_of(F.col("_ws"), k))).alias("sh"),
+    )
     return (
         c.join(b, "sh")
         .groupBy("corpus_id", "bench_id")
@@ -329,7 +407,7 @@ def contamination_pairs(corpus: DataFrame, benchmark: DataFrame,
 def winnow_candidate_pairs(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", k: int = 32,
                            w: int = 16, min_shared: int = 2,
-                           max_doc_freq: int | None | str = "auto"
+                           max_doc_freq: int | None | str = AUTO
                            ) -> DataFrame:
     """MOSS-style near-dup candidates from winnowing fingerprints
     (`ops.text.winnow_fingerprints`): two docs pair when they share
@@ -351,7 +429,7 @@ def winnow_candidate_pairs(df: DataFrame, text_col: str = "text",
     from .text import winnow_fingerprints
 
     log = logging.getLogger(__name__)
-    if max_doc_freq == "auto":
+    if max_doc_freq == AUTO:
         max_doc_freq = DEFAULT_MAX_DOC_FREQ
     elif max_doc_freq is None:
         log.warning(
@@ -380,7 +458,9 @@ def winnow_candidate_pairs(df: DataFrame, text_col: str = "text",
         freq = ex.groupBy("fp").agg(F.count("*").alias("_df"))
         ex = ex.join(
             freq.filter(F.col("_df") <= max_doc_freq), "fp"
-        ).select(id_col, "fp")
+        ).select(id_col, "fp").localCheckpoint()
+        # barriered: the capped stream feeds BOTH self-join sides, and
+        # without it the freq aggregation + cap join plan twice
     a = ex.select(F.col(id_col).alias("id_a"), "fp")
     b = ex.select(F.col(id_col).alias("id_b"), "fp")
     return (

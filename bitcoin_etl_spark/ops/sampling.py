@@ -9,17 +9,38 @@ training-data pipeline needs reproducible subsets.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, functions as F
 
+log = logging.getLogger(__name__)
 
-def _hash_pct(key_col) -> "F.Column":
-    """Deterministic uniform [0,100) bucket from md5 of the key (same
-    value computable in any engine — DuckDB: ('0x'||substr(md5(k),1,8))
-    ::UBIGINT % 100)."""
+SAMPLE_BUCKETS = 1_000_000
+"""Hash-bucket granularity: rates are quantized to 1e-6 (one part per
+million). Round 3 quantized to whole PERCENT, which silently dropped
+entire strata for rates under 0.005 — sub-ppm rates now warn loudly
+instead of silently rounding."""
+
+
+def _hash_bucket(key_col, buckets: int = SAMPLE_BUCKETS) -> "F.Column":
+    """Deterministic uniform [0, buckets) value from md5 of the key (same
+    value computable in any engine — DuckDB:
+    ('0x'||substr(md5(k),1,8))::UBIGINT % buckets)."""
     return (
         F.conv(F.substring(F.md5(key_col.cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
+        .cast("long") % buckets
     )
+
+
+def _rate_units(frac: float, name: str) -> int:
+    units = int(round(frac * SAMPLE_BUCKETS))
+    if abs(units - frac * SAMPLE_BUCKETS) > 1e-6:
+        log.warning(
+            "stratified_sample: rate %r for %s quantized to %d/%d "
+            "(granularity is 1e-6; the requested rate is finer)",
+            frac, name, units, SAMPLE_BUCKETS,
+        )
+    return units
 
 
 def stratified_sample(df: DataFrame, strata_col: str,
@@ -27,16 +48,19 @@ def stratified_sample(df: DataFrame, strata_col: str,
                       key_col: str,
                       default_rate: float = 0.0) -> DataFrame:
     """Deterministic stratified sampling: keep a row iff its key-hash
-    bucket falls under its stratum's percentage. ``rates`` maps stratum
-    value → fraction in [0,1]; unlisted strata get ``default_rate``.
-    The mix-rebalancing step of corpus curation (e.g. downsample crawl,
-    keep all curated sources) as a single narrow filter."""
-    pct = _hash_pct(F.col(key_col))
+    bucket falls under its stratum's rate. ``rates`` maps stratum
+    value → fraction in [0,1] (quantized to 1e-6 — see SAMPLE_BUCKETS);
+    unlisted strata get ``default_rate``. The mix-rebalancing step of
+    corpus curation (e.g. downsample crawl, keep all curated sources)
+    as a single narrow filter."""
+    bucket = _hash_bucket(F.col(key_col))
     rate = None
     for value, frac in rates.items():
         cond = F.col(strata_col) == value
-        rate = (F.when(cond, F.lit(int(round(frac * 100))))
-                if rate is None else rate.when(cond, int(round(frac * 100))))
-    rate = (rate.otherwise(int(round(default_rate * 100)))
-            if rate is not None else F.lit(int(round(default_rate * 100))))
-    return df.filter(pct < rate)
+        units = _rate_units(frac, f"stratum {value!r}")
+        rate = (F.when(cond, F.lit(units))
+                if rate is None else rate.when(cond, units))
+    default_units = _rate_units(default_rate, "default_rate")
+    rate = (rate.otherwise(default_units)
+            if rate is not None else F.lit(default_units))
+    return df.filter(bucket < rate)

@@ -75,9 +75,21 @@ def cosine_topk_fast(df: DataFrame, query: list[float], k: int = 10,
     return ranked_topk(scored, k, "cos", id_col)
 
 
+MAX_RANKED_TOPK = 100_000
+"""Upper bound on ``ranked_topk``'s k: the ≤k survivors are collected to
+the driver for rank stamping, so an unbounded k would turn a top-k probe
+into a driver-side materialization of the corpus."""
+
+
 def ranked_topk(scored: DataFrame, k: int, order_col: str = "cos",
                 id_col: str = "vec_id") -> DataFrame:
     """Distributed top-k with a ``rank`` column.
+
+    EAGER: calling this runs the scan job immediately (the TakeOrdered
+    result — ≤k rows — is collected once for driver-side rank stamping)
+    and returns a small driver-local DataFrame, unlike the engine's
+    otherwise-lazy ops. ``k`` is bounded by ``MAX_RANKED_TOPK`` so the
+    driver collect stays k-sized, never corpus-sized.
 
     ``orderBy(...).limit(k)`` plans as TakeOrderedAndProject — each task
     keeps its local top-k and the driver merges k×partitions rows — so
@@ -93,6 +105,11 @@ def ranked_topk(scored: DataFrame, k: int, order_col: str = "cos",
     rank join — 2× the scan cost for zero extra information."""
     from pyspark.sql import types as T
 
+    if not 0 < k <= MAX_RANKED_TOPK:
+        raise ValueError(
+            f"ranked_topk k={k} outside (0, {MAX_RANKED_TOPK}]: the top-k "
+            "survivors are collected driver-side for rank stamping"
+        )
     order = [F.desc(order_col), F.asc(id_col)]
     top = scored.orderBy(*order).limit(k)
     rows = top.collect()

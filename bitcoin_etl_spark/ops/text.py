@@ -70,13 +70,14 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     → per-doc agg — two map-side-combining shuffles both partitioned by
     doc_id, no windows, no skew hazard beyond a pathological single doc
     (bounded by doc length, not corpus size)."""
-    from .dedup import _shingles
+    from .dedup import _shingles_of, _tokens_frame
 
     base = df.select(F.col(id_col))
+    toks = _tokens_frame(df, text_col, id_col)
 
     def per_doc(k: int, tag: str) -> DataFrame:
-        grams = df.select(
-            F.col(id_col), F.explode(_shingles(text_col, k)).alias("g")
+        grams = toks.select(
+            F.col(id_col), F.explode(_shingles_of(F.col("_ws"), k)).alias("g")
         )
         freq = grams.groupBy(id_col, "g").agg(F.count("*").alias("c"))
         return freq.groupBy(id_col).agg(

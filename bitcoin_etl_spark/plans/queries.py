@@ -788,17 +788,30 @@ def dedup_minhash_lsh(spark, sf_dir):
     # spread before the 50-200x shingle explode: a single-row-group
     # source otherwise pins the whole md5 pipeline to ONE task
     docs = _spread(load(spark, sf_dir, "documents"), "doc_id")
-    ws = F.split(F.col("text"), " ")
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(ws) - 2, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(ws, i),
-            F.element_at(ws, i + 1),
-            F.element_at(ws, i + 2),
+    # materialize the token split in its own projection: a lambda body
+    # referencing the raw split() expression re-evaluates it per
+    # reference (ops.dedup._tokens_frame, measured 7.5x at sf0.1).
+    # Space-split (not the \s+ tokenize) to mirror the oracle's
+    # string_split(text, ' ') exactly.
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("_ws"))
+    ws = F.col("_ws")
+    # sequence(1, n) runs BACKWARDS ([1, 0]) for n <= 0, so a sub-3-token
+    # doc must short-circuit to an empty shingle array or the
+    # out-of-range element_at throws under ANSI mode (same guard as
+    # ops.dedup._shingles_of; DuckDB's generate_series(1, 0) is empty)
+    shingles = F.when(
+        F.size(ws) - 2 >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(ws, i),
+                F.element_at(ws, i + 1),
+                F.element_at(ws, i + 2),
+            ),
         ),
-    )
-    sh = docs.select("doc_id", F.explode(shingles).alias("shingle"))
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    sh = toks.select("doc_id", F.explode(shingles).alias("shingle"))
     # ONE md5 per shingle; the 4 minhash functions are its four 8-hex
     # chunks (independent 32-bit values, identically computable in SQL)
     hashed = sh.select("doc_id", F.md5("shingle").alias("m"))
@@ -2005,8 +2018,10 @@ ORACLES["multimodal_frame_sample"] = _frames_oracle_sql()
     "sample_stratified",
     """
     SELECT doc_id, source, lang FROM documents
-    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
-          < CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 50 ELSE 25 END
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+          % 1000000
+          < CASE source WHEN 'src0' THEN 100000 WHEN 'src1' THEN 500000
+                 ELSE 250000 END
     """,
 )
 def sample_stratified(spark, sf_dir):
