@@ -33,3 +33,5 @@ from .similarity import (  # noqa: F401
 from .multimodal import extract_features, sample_frames, synthesize_media  # noqa: F401
 from .sampling import stratified_sample  # noqa: F401
 from .packing import chunk_by_token_budget, greedy_pack  # noqa: F401
+from .temporal import asof_join, range_join_buckets, sessionize  # noqa: F401
+from .sketch import kmv_distinct  # noqa: F401

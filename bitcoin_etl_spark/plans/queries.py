@@ -2766,6 +2766,297 @@ def text_repetition_stats(spark, sf_dir):
 
 
 # =========================================================================
+# Round-4 temporal / sketch / CDC-feed operators
+# =========================================================================
+
+
+@_q(
+    "events_asof_join",
+    """
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           s.event_id AS signup_event_id,
+           s.value AS signup_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def events_asof_join(spark, sf_dir):
+    """As-of join (Spark has NO native ASOF): every purchase event gets
+    the latest signup event of the same user at-or-before its timestamp
+    — the point-in-time enrichment a CDC pipeline runs against
+    slowly-changing state. Implemented as `ops.temporal.asof_join`: a
+    union-tagged single-window sweep (one shuffle, no join node, never
+    the BroadcastNestedLoopJoin a theta `ts >= ts` would plan). The
+    oracle is DuckDB's NATIVE ASOF LEFT JOIN — an independent
+    implementation of the same semantics, including the inclusive-tie
+    rule."""
+    from ..ops.temporal import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "purchase")
+    state = ev.filter(F.col("event_type") == "signup")
+    out = asof_join(probe, state, "user_id", "ts", ["event_id", "value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.col("event_id_asof").alias("signup_event_id"),
+        F.col("value_asof").alias("signup_value"),
+    )
+
+
+@_q(
+    "events_session_rollup",
+    """
+    WITH b AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                          > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_idx
+      FROM b
+    )
+    SELECT user_id, session_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS sum_value
+    FROM s GROUP BY 1, 2
+    """,
+)
+def events_session_rollup(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity gap) + per-session
+    rollup — the event-stream structuring step before behavioral
+    features. `ops.temporal.sessionize`: lag → boundary flag → running
+    sum, all over ONE hash shuffle on user_id; integer-microsecond gap
+    arithmetic so the boundary rule is float-free and matches the
+    oracle exactly."""
+    from ..ops.temporal import sessionize
+
+    ev = load(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_seconds=1800,
+                   order_tiebreak="event_id")
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").cast("double").alias("sum_value"),
+    )
+
+
+@_q(
+    "events_range_join",
+    """
+    WITH iv AS (
+      SELECT user_id AS interval_id,
+             min(ts) AS start_ts,
+             min(ts) + INTERVAL 2 HOUR AS end_ts
+      FROM events WHERE user_id < 8 GROUP BY 1
+    )
+    SELECT iv.interval_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS sum_value
+    FROM events e JOIN iv
+      ON e.ts >= iv.start_ts AND e.ts <= iv.end_ts
+    GROUP BY 1
+    """,
+)
+def events_range_join(spark, sf_dir):
+    """Interval-containment range join re-expressed as a bucket
+    EQUI-join (`ops.temporal.range_join_buckets`): intervals (each
+    user<8's first two hours) explode into hour buckets, facts map to
+    their bucket, exact containment filters after the hash join —
+    O(facts + intervals×3) shuffle rows where Spark's native plan for
+    the theta `BETWEEN` is a BroadcastNestedLoopJoin. The oracle RUNS
+    the naive theta join (fine at oracle scale) — same result, opposite
+    plan."""
+    from ..ops.temporal import range_join_buckets
+
+    ev = load(spark, sf_dir, "events")
+    iv = (
+        ev.filter(F.col("user_id") < 8)
+        .groupBy(F.col("user_id").alias("interval_id"))
+        .agg(F.min("ts").alias("start_ts"))
+        .withColumn("end_ts", F.col("start_ts") + F.expr("INTERVAL 2 HOURS"))
+    )
+    facts = ev.select("event_id", "ts", "value")
+    j = range_join_buckets(facts, iv, "ts", "start_ts", "end_ts", 3600)
+    return j.groupBy("interval_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").cast("double").alias("sum_value"),
+    )
+
+
+@_q(
+    "events_kmv_distinct",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  ::UBIGINT AS BIGINT) AS h
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             array_slice(list_sort(list(h)), 1, 8) AS arr
+      FROM h GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(len(arr) AS BIGINT) AS n_kept,
+           CASE WHEN len(arr) >= 8 THEN arr[8] END AS kth_min,
+           CAST(CASE WHEN len(arr) < 8 THEN len(arr)
+                     ELSE (7 * 4294967296) // arr[8] END AS BIGINT)
+             AS est_distinct
+    FROM m
+    """,
+)
+def events_kmv_distinct(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-count sketch per event_type over
+    user_id, k=8 — a DETERMINISTIC cardinality sketch whose synopsis
+    AND estimate are plain integers reproducible in any engine (unlike
+    HyperLogLog's engine-internal registers), so the whole sketch is
+    oracle-checked, not just row counts. `ops.sketch.kmv_distinct`:
+    distinct → two-level decomposed min-k (associative merge — the
+    per-partition-synopsis property that makes it a one-pass 100 TB
+    scan)."""
+    from ..ops.sketch import kmv_distinct
+
+    ev = load(spark, sf_dir, "events")
+    return kmv_distinct(ev, "event_type", "user_id", k=8, fanout=16)
+
+
+@_q(
+    "cdc_scd2_history",
+    """
+    WITH ch AS (
+      SELECT event_id AS seq,
+             'doc_' || CAST(user_id AS VARCHAR) AS doc_id,
+             CASE WHEN event_type='error' THEN 'D' ELSE 'U' END AS op,
+             value
+      FROM events
+    ),
+    v AS (
+      SELECT doc_id, seq, op, value,
+             lead(seq) OVER (PARTITION BY doc_id ORDER BY seq) AS valid_to
+      FROM ch
+    )
+    SELECT doc_id, seq AS valid_from, valid_to, value,
+           CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT)
+             AS is_current
+    FROM v WHERE op = 'U'
+    """,
+)
+def cdc_scd2_history(spark, sf_dir):
+    """SCD Type-2 history from the change log: every upsert opens a
+    version valid [its seq, next change's seq); the next change of the
+    SAME doc (upsert or delete) closes it; open versions are current.
+    The dimension-table materialization a warehouse builds from a CDC
+    feed. ONE partitioned lead() window over the doc_id shuffle — no
+    self-join, no global sort."""
+    ch = _changes_from_events(spark, sf_dir)
+    w = W.partitionBy("doc_id").orderBy("seq")
+    return (
+        ch.withColumn("valid_to", F.lead("seq").over(w))
+        .filter(F.col("op") == "U")
+        .select(
+            "doc_id",
+            F.col("seq").alias("valid_from"),
+            "valid_to",
+            "value",
+            F.when(F.col("valid_to").isNull(), 1).otherwise(0)
+            .cast("int").alias("is_current"),
+        )
+    )
+
+
+@_q(
+    "cdc_snapshot_diff",
+    """
+    WITH ch AS (
+      SELECT event_id AS seq,
+             'doc_' || CAST(user_id AS VARCHAR) AS doc_id,
+             CASE WHEN event_type='error' THEN 'D' ELSE 'U' END AS op,
+             value
+      FROM events
+    ),
+    b AS (SELECT CAST(floor(max(seq) / 2.0) AS BIGINT) AS t1 FROM ch),
+    s1 AS (
+      SELECT doc_id, arg_max(op, seq) AS op1, arg_max(value, seq) AS v1
+      FROM ch, b WHERE seq <= t1 GROUP BY doc_id
+    ),
+    s2 AS (
+      SELECT doc_id, arg_max(op, seq) AS op2, arg_max(value, seq) AS v2
+      FROM ch GROUP BY doc_id
+    ),
+    d AS (
+      SELECT coalesce(s1.doc_id, s2.doc_id) AS doc_id,
+             CASE WHEN coalesce(op2 = 'U', false)
+                       AND NOT coalesce(op1 = 'U', false) THEN 'I'
+                  WHEN coalesce(op1 = 'U', false)
+                       AND NOT coalesce(op2 = 'U', false) THEN 'D'
+                  WHEN op1 = 'U' AND op2 = 'U' AND v1 <> v2 THEN 'U'
+             END AS change_op,
+             CASE WHEN op1 = 'U' THEN v1 END AS old_value,
+             CASE WHEN op2 = 'U' THEN v2 END AS new_value
+      FROM s1 FULL JOIN s2 ON s1.doc_id = s2.doc_id
+    )
+    SELECT * FROM d WHERE change_op IS NOT NULL
+    """,
+)
+def cdc_snapshot_diff(spark, sf_dir):
+    """Snapshot-diff change feed (the Iceberg changelog-scan /
+    Delta CDF analog): the net I/U/D per doc between the table state at
+    seq ≤ max/2 and at max — what an incremental downstream consumer
+    reads instead of re-scanning the table. Two map-side-partial
+    max_by replays + one full-outer equi-join; the mid-point bound is a
+    one-row broadcast, never a driver-side collect of data."""
+    ch = _changes_from_events(spark, sf_dir)
+    b = ch.agg(
+        F.floor(F.max("seq") / 2.0).cast("long").alias("t1")
+    )
+    snap = lambda src: src.groupBy("doc_id").agg(  # noqa: E731
+        F.max_by("op", "seq").alias("op"),
+        F.max_by("value", "seq").alias("v"),
+    )
+    s1 = snap(ch.crossJoin(F.broadcast(b)).filter(F.col("seq") <= F.col("t1")))
+    s2 = snap(ch)
+    a, c = s1.alias("a"), s2.alias("c")
+    alive1 = F.coalesce(F.col("a.op") == "U", F.lit(False))
+    alive2 = F.coalesce(F.col("c.op") == "U", F.lit(False))
+    joined = a.join(c, F.col("a.doc_id") == F.col("c.doc_id"), "full_outer")
+    return (
+        joined.select(
+            F.coalesce(F.col("a.doc_id"), F.col("c.doc_id")).alias("doc_id"),
+            F.when(alive2 & ~alive1, "I")
+            .when(alive1 & ~alive2, "D")
+            .when(
+                (F.col("a.op") == "U") & (F.col("c.op") == "U")
+                & (F.col("a.v") != F.col("c.v")),
+                "U",
+            )
+            .alias("change_op"),
+            F.when(F.col("a.op") == "U", F.col("a.v")).alias("old_value"),
+            F.when(F.col("c.op") == "U", F.col("c.v")).alias("new_value"),
+        )
+        .filter(F.col("change_op").isNotNull())
+    )
+
+
+# =========================================================================
 # Registry ordering
 # =========================================================================
 #
@@ -2805,6 +3096,13 @@ _DRIVER_WINDOW_PRIORITY = [
     "decontaminate_overlap",
     "split_assign",
     "text_repetition_stats",
+    # -- round-4 additions (first driver row needed) --
+    "events_asof_join",
+    "events_session_rollup",
+    "events_range_join",
+    "events_kmv_distinct",
+    "cdc_scd2_history",
+    "cdc_snapshot_diff",
 ]
 
 

@@ -488,3 +488,110 @@ def test_contamination_corpus_side_streams_without_shuffle(spark, docs):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "BroadcastExchange" in plan or "broadcast" in plan.lower(), plan
+
+
+def test_asof_join_inclusive_tie_and_missing_state(spark):
+    """Pins as-of semantics: state AT the probe timestamp is visible
+    (inclusive), later state is not, probes before any state get NULL."""
+    import datetime as dt
+
+    from bitcoin_etl_spark.ops.temporal import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    state = spark.createDataFrame(
+        [(1, t(10), 100), (1, t(20), 200), (2, t(50), 500)],
+        "k long, ts timestamp, sval long",
+    )
+    probe = spark.createDataFrame(
+        [(1, t(5), "a"), (1, t(10), "b"), (1, t(15), "c"),
+         (1, t(25), "d"), (2, t(40), "e")],
+        "k long, ts timestamp, tag string",
+    )
+    got = {
+        r["tag"]: r["sval_asof"]
+        for r in asof_join(probe, state, "k", "ts", ["sval"]).collect()
+    }
+    assert got == {"a": None, "b": 100, "c": 100, "d": 200, "e": None}
+
+
+def test_sessionize_boundary_is_strict(spark):
+    """A gap of EXACTLY gap_seconds does not break the session; one
+    microsecond more does."""
+    import datetime as dt
+
+    from bitcoin_etl_spark.ops.temporal import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1),
+        (1, base + dt.timedelta(seconds=1800), 2),          # == gap: same
+        (1, base + dt.timedelta(seconds=3600, microseconds=1), 3),  # > gap
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, eid long")
+    got = {
+        r["eid"]: r["session_idx"]
+        for r in sessionize(df, "k", "ts", 1800, "eid").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2}
+
+
+def test_range_join_buckets_matches_naive(spark):
+    """The bucketed equi-join returns EXACTLY the naive theta join's
+    matches (no dups from multi-bucket intervals, no misses at bucket
+    edges), across interval lengths that span 1-4 buckets."""
+    import datetime as dt
+
+    from bitcoin_etl_spark.ops.temporal import range_join_buckets
+
+    base = dt.datetime(2024, 1, 1)
+    facts = spark.createDataFrame(
+        [(i, base + dt.timedelta(minutes=7 * i)) for i in range(200)],
+        "fact_id long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [
+            (1, base, base + dt.timedelta(minutes=30)),
+            (2, base + dt.timedelta(minutes=59), base + dt.timedelta(minutes=61)),
+            (3, base + dt.timedelta(hours=2), base + dt.timedelta(hours=6)),
+        ],
+        "interval_id long, start_ts timestamp, end_ts timestamp",
+    )
+    got = {
+        (r["interval_id"], r["fact_id"])
+        for r in range_join_buckets(
+            facts, iv, "ts", "start_ts", "end_ts", 3600
+        ).collect()
+    }
+    naive = {
+        (r["interval_id"], r["fact_id"])
+        for r in facts.join(
+            iv,
+            (facts.ts >= iv.start_ts) & (facts.ts <= iv.end_ts),
+        ).collect()
+    }
+    assert got == naive and len(got) > 10
+
+
+def test_kmv_distinct_exact_under_k_and_estimates(spark):
+    """Below k the sketch is the exact distinct count; above k the
+    estimate lands within 3x of truth for uniform keys (k=64 on 5000
+    distinct — KMV's relative error is ~1/sqrt(k-2) so 3x is a loose,
+    deterministic bound), and the synopsis is reproducible run-to-run."""
+    from bitcoin_etl_spark.ops.sketch import kmv_distinct
+
+    df = spark.range(10_000).select(
+        F.when(F.col("id") < 40, "small").otherwise("big").alias("grp"),
+        # 'small' group: 40 rows / 7 distinct keys; 'big': ~5000 distinct
+        F.when(F.col("id") < 40, F.col("id") % 7)
+        .otherwise(F.col("id") % 5000).alias("key"),
+    )
+    out = {r["grp"]: r for r in kmv_distinct(df, "grp", "key", k=64).collect()}
+    assert out["small"]["n_kept"] == 7
+    assert out["small"]["est_distinct"] == 7
+    assert out["small"]["kth_min"] is None
+    est = out["big"]["est_distinct"]
+    assert out["big"]["n_kept"] == 64
+    assert 5000 / 3 < est < 5000 * 3, est
+    again = {r["grp"]: r["est_distinct"]
+             for r in kmv_distinct(df, "grp", "key", k=64).collect()}
+    assert again == {g: r["est_distinct"] for g, r in out.items()}
