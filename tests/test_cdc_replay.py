@@ -340,3 +340,85 @@ def test_compaction_retains_tombstones_against_stale_replay(spark, tmp_path):
     assert res["compacted"]
     assert table.read_raw(spark).filter("_deleted").count() == 0
     assert {r["doc_id"] for r in table.read_final(spark).collect()} == {"b"}
+
+
+def test_read_changes_incremental_feed(spark, tmp_path):
+    """Incremental change-feed read (the Iceberg changelog-scan / Delta
+    CDF analog): net I/U/D between two snapshots, no-op deletes dropped,
+    compaction produces an EMPTY feed, and the scan file-skips every
+    file whose footer _rev range predates the from-snapshot."""
+    from pyspark.sql import types as T
+
+    payload = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("val", T.LongType(), True),
+    ])
+    table = LakeTable.create(str(tmp_path / "t"), payload, n_buckets=4)
+
+    def delta(rows, epoch):
+        df = spark.createDataFrame(
+            rows, "doc_id string, val long, _rev long, _deleted boolean"
+        )
+        table.append_delta(df, epoch_id=epoch)
+
+    delta([("a", 1, 1, False), ("b", 2, 2, False), ("c", 3, 3, False)], 0)
+    v0 = table.current_version()
+    assert table.rev_high(v0) == 3
+
+    # b updated twice (nets to final), c deleted, d inserted,
+    # e deleted-without-ever-existing (must not surface)
+    delta([("b", 20, 4, False), ("d", 40, 5, False)], 1)
+    delta([("b", 21, 6, False), ("c", None, 7, True),
+           ("e", None, 8, True)], 2)
+    v1 = table.current_version()
+
+    feed = {
+        r["doc_id"]: (r["_change_type"], r["val"])
+        for r in table.read_changes(spark, v0, v1).collect()
+    }
+    assert feed == {
+        "b": ("UPDATE_AFTER", 21),
+        "c": ("DELETE", None),
+        "d": ("INSERT", 40),
+    }
+    # unclassified single-scan form
+    up = {
+        r["doc_id"]: r["_change_type"]
+        for r in table.read_changes(spark, v0, v1, classify=False).collect()
+    }
+    assert up == {"b": "UPSERT", "c": "DELETE", "d": "UPSERT", "e": "DELETE"}
+
+    # compaction rewrites files but changes no state: empty feed, and
+    # the rewritten base files carry old revs → candidate set is empty
+    table.compact(spark)
+    v2 = table.current_version()
+    assert table.read_changes(spark, v1, v2).count() == 0
+    rev_b = table.rev_high(v1)
+    cand = [
+        f for f in table.manifest(v2)["files"]
+        if f.get("rev_max") is None or f["rev_max"] > rev_b
+    ]
+    assert cand == [], "compacted files must be skippable by rev stats"
+
+    # post-compaction delta: feed reads ONLY the new file
+    delta([("a", 100, 9, False)], 3)
+    v3 = table.current_version()
+    cand = [
+        f for f in table.manifest(v3)["files"]
+        if f.get("rev_max") is None or f["rev_max"] > rev_b
+    ]
+    assert len(cand) == 1
+    feed = {
+        r["doc_id"]: (r["_change_type"], r["val"])
+        for r in table.read_changes(spark, v1, v3).collect()
+    }
+    assert feed == {"a": ("UPDATE_AFTER", 100)}
+    # full-range feed from the empty-table snapshot: everything alive
+    # is an INSERT at its net value, deleted keys a no-op
+    feed0 = {
+        r["doc_id"]: (r["_change_type"], r["val"])
+        for r in table.read_changes(spark, 0, v3).collect()
+    }
+    assert feed0 == {
+        "a": ("INSERT", 100), "b": ("INSERT", 21), "d": ("INSERT", 40),
+    }
