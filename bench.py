@@ -59,6 +59,14 @@ HEADLINE_QUERIES = [
     # Arrow-vectorized ANN scan beside the exact one — the bench carries
     # the production-vs-reference scorer A/B every round
     "ann_cosine_topk_fast",
+    # round-4 additions: temporal family (as-of via single-window sweep,
+    # range containment via bucket equi-join), the 13-gram
+    # decontamination join after its zero-shuffle corpus-stream fix, and
+    # the KMV sketch (distinct + two-level min-k merge)
+    "events_asof_join",
+    "events_range_join",
+    "decontaminate_overlap",
+    "events_kmv_distinct",
 ]
 
 CACHE_ROOT = os.environ.get(

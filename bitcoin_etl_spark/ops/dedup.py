@@ -544,8 +544,17 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             )
             .withColumn("_chg", F.col("label") < F.col("_old"))
         )
-        new = new.localCheckpoint(eager=True)
-        changed = new.filter(F.col("_chg")).limit(1).count()
+        # ride the convergence count on the SAME job that materializes
+        # the checkpoint (Observation metrics come from the checkpoint
+        # action) instead of a separate per-round count scan — one fewer
+        # driver-synced job per iteration
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        new = new.observe(
+            obs, F.sum(F.col("_chg").cast("long")).alias("changed")
+        ).localCheckpoint(eager=True)
+        changed = obs.get["changed"] or 0
         labels = new.drop("_chg", "_old")
         if not changed:
             break
