@@ -151,6 +151,21 @@ def cmd_snapshots(args):
     print(json.dumps(_open_table(args).snapshots()))
 
 
+def cmd_changes(args):
+    """Incremental change feed between two snapshots as JSON lines —
+    the downstream-consumer surface of LakeTable.read_changes."""
+    spark = _spark(args)
+    table = _open_table(args)
+    to_v = args.to_version if args.to_version is not None else (
+        table.current_version()
+    )
+    feed = table.read_changes(
+        spark, args.from_version, to_v, classify=not args.no_classify
+    )
+    for line in feed.toJSON().toLocalIterator():
+        print(line)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="bitcoin_etl_spark")
     p.add_argument("--cores", type=int, default=None)
@@ -199,6 +214,15 @@ def main(argv=None):
     rp.add_argument("--changes", default=None,
                     help="change-log dir for count-conservation check")
 
+    ch = sub.add_parser(
+        "changes", help="incremental change feed between two snapshots"
+    )
+    table_args(ch, with_changes=False)
+    ch.add_argument("--from-version", type=int, required=True)
+    ch.add_argument("--to-version", type=int, default=None)
+    ch.add_argument("--no-classify", action="store_true",
+                    help="single-scan UPSERT/DELETE feed (skip I/U split)")
+
     args = p.parse_args(argv)
     {
         "generate": cmd_generate,
@@ -208,6 +232,7 @@ def main(argv=None):
         "repair": cmd_repair,
         "lineage": cmd_lineage,
         "snapshots": cmd_snapshots,
+        "changes": cmd_changes,
     }[args.cmd](args)
 
 

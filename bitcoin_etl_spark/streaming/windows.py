@@ -126,3 +126,34 @@ def dedup_stream(
     if within_watermark:
         return out.dropDuplicatesWithinWatermark(keys)
     return out.dropDuplicates(keys)
+
+
+def session_change_activity(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ingest_ts",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Per-key SESSION-window change activity: consecutive changes to a
+    key closer than ``gap`` apart merge into one session row (n_events,
+    session bounds) — the stream-side burst detector for high-churn
+    doc_ids (the hot-key signal the salted-repartition path consumes).
+    Uses Spark's native ``session_window`` (dynamic gap-merged windows,
+    state expired by the watermark so state is O(open sessions), not
+    O(keys ever)); the batch twin over the same frame is
+    ``ops.temporal.sessionize``, whose gap rule this matches. Works on a
+    batch DataFrame identically (same plan, minus state)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key))
+        .agg(
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col(key),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

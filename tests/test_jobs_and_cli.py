@@ -90,3 +90,55 @@ def test_cli_end_to_end(tmp_path):
     assert comp["compacted"] is True
     snaps = run("snapshots", "--table", table)
     assert len(snaps) >= 4
+
+
+def test_cli_changes_feed(tmp_path):
+    """CLI change-feed surface: replay → snapshot → replay more →
+    `changes --from-version` emits only the net new changes as JSON
+    lines."""
+    scen = str(tmp_path / "scen")
+    table = str(tmp_path / "table")
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "bitcoin_etl_spark", "--cores", "4", *argv],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return r.stdout
+
+    run("generate", "--out", scen, "--events", "2000", "--epochs", "4",
+        "--keys", "300")
+    # apply only the first two epochs by copying them to a staging dir
+    import os
+    import shutil
+
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    for e in (0, 1):
+        shutil.copytree(f"{scen}/changes/epoch={e}", f"{stage}/epoch={e}")
+    run("replay", "--table", table, "--changes", stage, "--create")
+    snaps = json.loads(
+        [l for l in run("snapshots", "--table", table).splitlines()
+         if l.startswith("[")][-1]
+    )
+    v_mid = snaps[-1]["version"]
+    for e in (2, 3):
+        shutil.copytree(f"{scen}/changes/epoch={e}", f"{stage}/epoch={e}")
+    run("replay", "--table", table, "--changes", stage)
+    out = run("changes", "--table", table, "--from-version", str(v_mid))
+    feed = [json.loads(l) for l in out.splitlines() if l.startswith("{")]
+    assert feed, "late epochs must produce a non-empty change feed"
+    kinds = {r["_change_type"] for r in feed}
+    assert kinds <= {"INSERT", "UPDATE_AFTER", "DELETE"}
+    assert {"doc_id"} <= set(feed[0])
+    # every fed doc_id was touched by epochs 2-3
+    import duckdb
+
+    touched = {
+        r[0] for r in duckdb.sql(
+            f"SELECT DISTINCT doc_id FROM '{stage}/epoch=2/*.parquet' "
+            f"UNION SELECT DISTINCT doc_id FROM '{stage}/epoch=3/*.parquet'"
+        ).fetchall()
+    }
+    assert {r["doc_id"] for r in feed} <= touched

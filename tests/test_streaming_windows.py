@@ -136,3 +136,59 @@ def test_stream_dedup_drops_redelivery(spark, tmp_path):
     distinct = len({(r["doc_id"], r["seq"]) for r in out_rows})
     assert len(out_rows) == distinct  # no duplicate survived
     assert total > distinct           # re-delivery actually created dups
+
+
+def test_session_change_activity_stream_matches_batch_rule(spark, tmp_path):
+    """Native session_window burst detector: drive it over a file-source
+    stream (availableNow) and pin the gap-merge rule on a handcrafted
+    key — three changes 5 min apart merge into ONE session, a fourth
+    40 min later opens a second session."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from bitcoin_etl_spark.streaming.windows import session_change_activity
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    for i, off in enumerate([0, 5, 10, 50, 55]):  # minutes
+        rows.append(
+            {"seq": i, "epoch": 0, "op": "U", "doc_id": "hot",
+             "ingest_ts": base + dt.timedelta(minutes=off)}
+        )
+    # a quiet key: single change → single 1-event session
+    rows.append({"seq": 99, "epoch": 0, "op": "U", "doc_id": "cold",
+                 "ingest_ts": base})
+    pdf = pd.DataFrame(rows)
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pandas(pdf), str(src / "part-0.parquet"),
+        coerce_timestamps="us",
+    )
+    schema = T.StructType([
+        T.StructField("seq", T.LongType()),
+        T.StructField("epoch", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("ingest_ts", T.TimestampType()),
+    ])
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        session_change_activity(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_act")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_act").collect()
+    }
+    assert got == {("hot", 3), ("hot", 2), ("cold", 1)}
+    spark.catalog.dropTempView("sess_act")
