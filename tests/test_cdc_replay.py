@@ -422,3 +422,45 @@ def test_read_changes_incremental_feed(spark, tmp_path):
     assert feed0 == {
         "a": ("INSERT", 100), "b": ("INSERT", 21), "d": ("INSERT", 40),
     }
+
+
+def test_dedup_auto_exact_winner_decision(spark, tmp_path, monkeypatch):
+    """The auto dedup strategy must not trust the file-row ESTIMATE when
+    it exceeds the broadcast limit: a hot-key table whose 30 delta rows
+    collapse to 8 winners must take the broadcast-join path (exact
+    narrow winner count) — the compaction-scaling fix — and produce the
+    identical final state either way."""
+    from pyspark.sql import types as T
+
+    payload = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("val", T.LongType(), True),
+    ])
+    table = LakeTable.create(str(tmp_path / "t"), payload, n_buckets=4)
+    monkeypatch.setattr(LakeTable, "_broadcast_winner_limit", 10)
+
+    rows = []
+    rev = 0
+    for burst in range(5):  # 5 revisions of the same 6 hot keys
+        for k in range(6):
+            rev += 1
+            rows.append((f"k{k}", burst * 10 + k, rev, False))
+    rows += [("extra1", 1, rev + 1, False), ("extra2", 2, rev + 2, False)]
+    for i in range(0, len(rows), 8):
+        df = spark.createDataFrame(
+            rows[i:i + 8], "doc_id string, val long, _rev long, _deleted boolean"
+        )
+        table.append_delta(df, epoch_id=i)
+
+    est = sum(f["rows"] or 0 for f in table.manifest()["files"])
+    assert est > 10, "fixture must exceed the (patched) broadcast limit"
+    # the exact winner count (8) is under the limit → join path
+    final = table.read_final(spark, strategy="auto")
+    got = {r["doc_id"]: r["val"] for r in final.collect()}
+    expect = {f"k{k}": 40 + k for k in range(6)} | {"extra1": 1, "extra2": 2}
+    assert got == expect
+    # both explicit strategies agree with auto
+    for strat in ("join", "agg"):
+        alt = {r["doc_id"]: r["val"]
+               for r in table.read_final(spark, strategy=strat).collect()}
+        assert alt == expect, strat
