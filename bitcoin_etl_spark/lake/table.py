@@ -740,13 +740,16 @@ class LakeTable:
                 and min_retained_rev is None):
             return {"compacted": False, "reason": "already-base"}
         schema = self.schema()
-        # window strategy + shuffle-free write: the whole compaction is
-        # ONE exchange (key hash) → sort/window dedup → narrow coalesce
-        # → bucket-partitioned write. The broadcast/auto plans pay fixed
-        # driver-serial costs (winner collect+build, count sync) that
-        # cap measured N→4N scaling (Amdahl) even though they can win on
-        # absolute wall at small core counts.
-        final = self._dedup_latest(spark, target, schema, "window")
+        # exact-auto dedup (broadcast join while the winner set fits,
+        # sort-agg beyond) + shuffle-free bucket write: A/B'd against a
+        # single-exchange window plan at 1 and 4 isolated executors —
+        # the broadcast path won or tied at both levels at 16M events
+        # (its driver-serial winner collect is small next to the saved
+        # wide sort), and the auto rule degrades to the no-broadcast agg
+        # plan exactly where a big cluster would need it (winner count
+        # over the broadcast budget). The "window" strategy remains
+        # available for callers that want the serial-phase-free plan.
+        final = self._dedup_latest(spark, target, schema, "auto")
         if min_retained_rev is not None:
             final = final.filter(
                 ~F.col(DELETED_COL) | (F.col(REV_COL) >= min_retained_rev)
