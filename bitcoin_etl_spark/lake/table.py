@@ -268,10 +268,16 @@ class LakeTable:
           are never shuffled or sorted at all; only the winner rows
           (≤ live keys) pass through a small dedup. Right when winners
           fit the broadcast budget — the common compaction case.
-        * ``auto`` — ``join`` if estimated winner count is under
-          ``broadcast_winner_limit`` rows, else ``agg``. At 10^10-event
+        * ``auto`` — ``join`` if the winner count fits
+          ``broadcast_winner_limit``, decided on the cheap file-row
+          estimate when that is already under the limit and otherwise
+          on the EXACT count of a narrow (key, max_rev) pass whose
+          checkpointed result the join path reuses. At 10^10-event
           scale with billions of live keys this degrades gracefully to
           the shuffle plan.
+        * ``window`` — one key-hash exchange → sort → row_number: no
+          broadcast collect/build and no count sync (serial-phase-free;
+          what ``compact`` A/B'd against — see its docstring).
         """
         m = self.manifest(version)
         schema = self.schema(version)
