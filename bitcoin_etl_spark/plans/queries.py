@@ -3056,6 +3056,72 @@ def cdc_snapshot_diff(spark, sf_dir):
     )
 
 
+@_q(
+    "events_value_percentiles",
+    """
+    SELECT event_type,
+           CAST(floor(quantile_cont(value, 0.5)  * 1000000) AS BIGINT)
+             AS p50_micro,
+           CAST(floor(quantile_cont(value, 0.95) * 1000000) AS BIGINT)
+             AS p95_micro,
+           CAST(floor(quantile_cont(value, 0.99) * 1000000) AS BIGINT)
+             AS p99_micro,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def events_value_percentiles(spark, sf_dir):
+    """Ordered statistics per group: exact interpolated p50/p95/p99 of
+    the event value (Spark `percentile` and DuckDB `quantile_cont` both
+    implement linear interpolation on the sorted values — emitted as
+    floor-quantized integer micro-units so the oracle hash is
+    float-safe). Exact percentile sorts within each group's partial
+    state (bounded by group size); the unsorted scale path for
+    monitoring dashboards is `approx_percentile` (t-digest-like, not
+    oracle-reproducible) — same plan shape, documented trade."""
+    ev = load(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.5D, 0.95D, 0.99D))")
+    agg = ev.groupBy("event_type").agg(
+        pct.alias("_p"), F.count("*").cast("long").alias("n")
+    )
+    return agg.select(
+        "event_type",
+        F.floor(F.element_at("_p", 1) * 1_000_000).cast("long")
+        .alias("p50_micro"),
+        F.floor(F.element_at("_p", 2) * 1_000_000).cast("long")
+        .alias("p95_micro"),
+        F.floor(F.element_at("_p", 3) * 1_000_000).cast("long")
+        .alias("p99_micro"),
+        "n",
+    )
+
+
+@_q(
+    "events_value_histogram",
+    """
+    SELECT event_type,
+           CAST(least(floor(value / 25.0), 9) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_value_histogram(spark, sf_dir):
+    """Equi-width value histogram per event type (10 bins of width 25,
+    top bin open-ended): the distribution-profiling aggregate of a data
+    QA pass, as one partial-agg shuffle over (type, bin) — map-side
+    combine collapses each bin before the exchange, so the shuffle is
+    O(groups × bins) regardless of row count."""
+    ev = load(spark, sf_dir, "events")
+    bin_ = F.least(F.floor(F.col("value") / 25.0), F.lit(9)).cast("long")
+    return ev.groupBy("event_type", bin_.alias("bin")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").cast("double").alias("sum_value"),
+    )
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -3103,6 +3169,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "events_kmv_distinct",
     "cdc_scd2_history",
     "cdc_snapshot_diff",
+    "events_value_percentiles",
+    "events_value_histogram",
 ]
 
 
