@@ -464,3 +464,37 @@ def test_dedup_auto_exact_winner_decision(spark, tmp_path, monkeypatch):
         alt = {r["doc_id"]: r["val"]
                for r in table.read_final(spark, strategy=strat).collect()}
         assert alt == expect, strat
+
+
+def test_read_changes_across_schema_evolution(spark, tmp_path):
+    """A feed spanning an additive schema evolution reads old files with
+    the evolved schema: pre-evolution rows that change later surface
+    with the new column, and unchanged-but-rewritten rows stay out."""
+    from pyspark.sql import types as T
+
+    payload = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("val", T.LongType(), True),
+    ])
+    table = LakeTable.create(str(tmp_path / "t"), payload, n_buckets=4)
+    df = spark.createDataFrame(
+        [("a", 1, 1, False), ("b", 2, 2, False)],
+        "doc_id string, val long, _rev long, _deleted boolean",
+    )
+    table.append_delta(df, epoch_id=0)
+    v0 = table.current_version()
+    # evolved delta: new source_meta column auto-evolves the table
+    df2 = spark.createDataFrame(
+        [("a", 10, 3, False, "crawl"), ("c", 30, 4, False, "curated")],
+        "doc_id string, val long, _rev long, _deleted boolean, source_meta string",
+    )
+    table.append_delta(df2, epoch_id=1)
+    feed = {
+        r["doc_id"]: (r["_change_type"], r["val"], r["source_meta"])
+        for r in table.read_changes(spark, v0).collect()
+    }
+    assert feed == {
+        "a": ("UPDATE_AFTER", 10, "crawl"),
+        "c": ("INSERT", 30, "curated"),
+    }
+    assert "source_meta" in [f.name for f in table.payload_schema().fields]

@@ -595,3 +595,44 @@ def test_kmv_distinct_exact_under_k_and_estimates(spark):
     again = {r["grp"]: r["est_distinct"]
              for r in kmv_distinct(df, "grp", "key", k=64).collect()}
     assert again == {g: r["est_distinct"] for g, r in out.items()}
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Seeded randomized pin against an INDEPENDENT implementation:
+    pandas.merge_asof (backward direction, inclusive) over 400 probe /
+    150 state rows across 8 keys must agree row-for-row."""
+    import numpy as np
+    import pandas as pd
+
+    from bitcoin_etl_spark.ops.temporal import asof_join
+
+    rng = np.random.RandomState(7)
+    base = pd.Timestamp("2024-01-01")
+    state = pd.DataFrame({
+        "k": rng.randint(0, 8, 150),
+        "ts": base + pd.to_timedelta(rng.randint(0, 100_000, 150), unit="s"),
+        "sval": np.arange(150, dtype="int64"),
+    }).drop_duplicates(["k", "ts"])
+    probe = pd.DataFrame({
+        "k": rng.randint(0, 8, 400),
+        "ts": base + pd.to_timedelta(rng.randint(0, 100_000, 400), unit="s"),
+        "pid": np.arange(400, dtype="int64"),
+    })
+    expect = pd.merge_asof(
+        probe.sort_values("ts"), state.sort_values("ts"),
+        on="ts", by="k", direction="backward",
+    ).set_index("pid")["sval"]
+    got = {
+        r["pid"]: r["sval_asof"]
+        for r in asof_join(
+            spark.createDataFrame(probe), spark.createDataFrame(state),
+            "k", "ts", ["sval"],
+        ).collect()
+    }
+    assert len(got) == 400
+    for pid, sval in expect.items():
+        g = got[pid]
+        if pd.isna(sval):
+            assert g is None, pid
+        else:
+            assert g == int(sval), pid
