@@ -268,16 +268,26 @@ class LakeTable:
           are never shuffled or sorted at all; only the winner rows
           (≤ live keys) pass through a small dedup. Right when winners
           fit the broadcast budget — the common compaction case.
-        * ``auto`` — ``join`` if the winner count fits
-          ``broadcast_winner_limit``, decided on the cheap file-row
-          estimate when that is already under the limit and otherwise
-          on the EXACT count of a narrow (key, max_rev) pass whose
-          checkpointed result the join path reuses. At 10^10-event
-          scale with billions of live keys this degrades gracefully to
-          the shuffle plan.
+        * ``auto`` — decided ENTIRELY from manifest file statistics, no
+          job and no driver sync: ``join`` when the summed file-row
+          count (an upper bound on distinct winners — base files are
+          unique-per-key and delta rows only overcount) fits
+          ``broadcast_winner_limit``; ``window`` otherwise. Every phase
+          of either plan is executor-parallel, so compaction scales
+          with cluster size — the previous exact-count probe (a narrow
+          winner pass + ``count()`` sync + driver broadcast build) paid
+          fixed serial costs at every cluster size and capped N→4N
+          scaling (measured: compact 2.34×/4 vs apply 3.11×/4).
+        * ``probe`` — the exact-count variant: run a narrow
+          (key, max_rev) pass, decide join-vs-agg on its TRUE winner
+          count, and reuse the checkpointed winners in the join. Best
+          absolute wall on few cores when file stats badly overcount
+          winners (A/B'd: wins/ties window at 1 and 4 isolated
+          executors at 16M events), but its count sync + broadcast
+          build are driver-serial — prefer ``auto`` on real clusters.
         * ``window`` — one key-hash exchange → sort → row_number: no
           broadcast collect/build and no count sync (serial-phase-free;
-          what ``compact`` A/B'd against — see its docstring).
+          see ``compact``'s docstring for the A/B).
         """
         m = self.manifest(version)
         schema = self.schema(version)
@@ -320,31 +330,41 @@ class LakeTable:
         df = self._read_files(spark, files, schema)
         winners = None
         if strategy == "auto":
-            # base rows are unique-per-key lower bound; delta rows upper
-            # bound — cheap file-metadata estimate, no job
+            # job-free decision from manifest stats only: sum of file
+            # rows is an upper bound on distinct winners (base files are
+            # unique-per-key; delta rows overcount rewritten keys), so
+            # "join" chosen here is always broadcast-safe. When the
+            # bound exceeds the budget we go straight to the
+            # serial-phase-free window plan rather than paying an exact
+            # winner-count probe: the probe's count() sync and driver
+            # broadcast build are fixed serial phases that cap N→4N
+            # scaling (measured — see the read_final docstring).
+            est = sum(f["rows"] or 0 for f in files)
+            strategy = (
+                "join" if est <= self._broadcast_winner_limit else "window"
+            )
+        elif strategy == "probe":
+            # exact-count variant: pay one narrow (key, max_rev) pass to
+            # learn the TRUE winner count before committing to a plan.
+            # The checkpointed winners feed the join when it fits, so
+            # the pass is reused — but when the answer is "agg" the
+            # checkpoint is abandoned, so explicitly release its
+            # executor-storage blocks (localCheckpoint blocks are
+            # non-replicated and are NOT lineage-recoverable).
             est = sum(f["rows"] or 0 for f in files)
             if est <= self._broadcast_winner_limit:
                 strategy = "join"
             else:
-                # the estimate says "agg", but it overcounts rewritten
-                # keys (sum of file rows vs distinct keys). Before paying
-                # the wide SortAggregate shuffle, compute the NARROW
-                # (key, max_rev) winner set — a cheap hash-agg pass over
-                # two columns — and decide on the EXACT winner count;
-                # the checkpointed winners are reused by the join path,
-                # so the extra pass is never wasted when it changes the
-                # answer. A 16M-row/1.1M-key compaction flips from a
-                # 16M-wide-row sort to hash-agg + broadcast semi-join
-                # (measured: the compact stage was the scaling
-                # bottleneck of the end-to-end replay, 2.77x vs the
-                # apply stage's 3.37x at 1→4 cores).
                 winners = df.groupBy(self.key).agg(
                     F.max(REV_COL).alias(REV_COL)
                 ).localCheckpoint()
                 n = winners.count()
-                strategy = (
-                    "join" if n <= self._broadcast_winner_limit else "agg"
-                )
+                if n <= self._broadcast_winner_limit:
+                    strategy = "join"
+                else:
+                    winners.unpersist()
+                    winners = None
+                    strategy = "agg"
         if strategy == "window":
             # compaction's plan: ONE hash exchange on the key, sort,
             # row_number — no broadcast collect/build, no winner count
@@ -388,6 +408,12 @@ class LakeTable:
     # / executor-broadcast budgets with 2x headroom; 10M was flagged as
     # aggressive in round-1 review)
     _broadcast_winner_limit = 5_000_000
+
+    # dedup strategy used by compact(): "auto" (job-free, every phase
+    # executor-parallel — the scaling-safe default), or any explicit
+    # strategy from read_final ("probe" trades a driver-serial exact
+    # count + broadcast build for the best absolute wall on few cores)
+    dedup_strategy = "auto"
 
     def read_bucket_files(
         self, spark: SparkSession, buckets: set[int]
@@ -746,16 +772,20 @@ class LakeTable:
                 and min_retained_rev is None):
             return {"compacted": False, "reason": "already-base"}
         schema = self.schema()
-        # exact-auto dedup (broadcast join while the winner set fits,
-        # sort-agg beyond) + shuffle-free bucket write: A/B'd against a
-        # single-exchange window plan at 1 and 4 isolated executors —
-        # the broadcast path won or tied at both levels at 16M events
-        # (its driver-serial winner collect is small next to the saved
-        # wide sort), and the auto rule degrades to the no-broadcast agg
-        # plan exactly where a big cluster would need it (winner count
-        # over the broadcast budget). The "window" strategy remains
-        # available for callers that want the serial-phase-free plan.
-        final = self._dedup_latest(spark, target, schema, "auto")
+        # job-free auto dedup (broadcast join while the manifest row
+        # bound fits the budget, single-exchange window beyond) +
+        # shuffle-free bucket write. Rationale: the exact-count "probe"
+        # variant wins/ties on absolute wall at 1 and 4 isolated
+        # executors (its winner collect is small next to the saved wide
+        # sort) but its count() sync + driver broadcast build are fixed
+        # serial phases — they capped the end-to-end replay's N→4N
+        # scaling at 2.34×/4 while the apply stage reached 3.11×/4, so
+        # the shipped default is the plan whose every phase is
+        # executor-parallel. Callers chasing absolute wall on few cores
+        # can pass strategy="probe" through dedup_strategy.
+        final = self._dedup_latest(
+            spark, target, schema, self.dedup_strategy
+        )
         if min_retained_rev is not None:
             final = final.filter(
                 ~F.col(DELETED_COL) | (F.col(REV_COL) >= min_retained_rev)

@@ -3134,43 +3134,47 @@ def events_value_histogram(spark, sf_dir):
 # (tests/test_queries_vs_duckdb.py) regardless of position; the rotation
 # below only chooses which subset ALSO gets independent driver evidence.
 #
-# Round-4 rotation: the 19 queries registered after position 50 in round 3
-# (the LLM-pipeline layer — winnowing, decontamination, quality filter,
-# corpus-clean composite, packing, sampling, PII, k-means, salient terms,
-# plus four round-2 holdovers) move to the FRONT, followed by this round's
-# new queries, then the long-green remainder in registration order. The
-# union of driver-green rows across rounds covers the full registry; the
-# per-round window membership is documented in COVERAGE.md.
+# Round-5 rotation (VERDICT r04 #4): the 27 queries displaced from the
+# r04 window (their driver rows are r02/r03-old — and several were
+# materially rewritten in round 4: the minhash/LSH-banded token-frame
+# split, the decontamination corpus stream, the four ann_* queries over
+# the reworked similarity module) move to the FRONT so every query's
+# driver row becomes ≤2 rounds old; round-5 additions follow, then the
+# r04-green remainder in registration order. The union of driver-green
+# rows across rounds covers the full registry; per-round window
+# membership is documented in COVERAGE.md.
 _DRIVER_WINDOW_PRIORITY = [
-    # -- round-3 additions that never got a driver row (VERDICT r03 #1) --
-    "dedup_components",
-    "events_funnel",
-    "embedding_quantize_stats",
-    "events_rolling_sum",
-    "multimodal_frame_sample",
-    "sample_stratified",
-    "pack_token_chunks",
-    "text_pii_redact",
-    "dedup_ngram_jaccard_capped",
-    "pack_greedy_firstfit",
-    "text_salient_terms",
-    "ann_kmeans_step",
-    "text_winnow_fingerprints",
-    "dedup_winnow_pairs",
-    "text_quality_filter",
-    "corpus_clean_pipeline",
-    "decontaminate_overlap",
-    "split_assign",
-    "text_repetition_stats",
-    # -- round-4 additions (first driver row needed) --
-    "events_asof_join",
-    "events_session_rollup",
-    "events_range_join",
-    "events_kmv_distinct",
-    "cdc_scd2_history",
-    "cdc_snapshot_diff",
-    "events_value_percentiles",
-    "events_value_histogram",
+    # -- rewritten in round 4 while riding r02/r03 driver rows --
+    "dedup_minhash_lsh",
+    "dedup_lsh_banded",
+    "ann_cosine_topk",
+    "ann_cosine_topk_fast",
+    "ann_lsh_hyperplane_buckets",
+    "ann_ivf_topk",
+    "ann_embedding_near_dup",
+    "ann_bucket_stats",
+    # -- perf-weak in BENCH_r04 (needs fresh correctness + bench row) --
+    "dedup_simhash_hamming",
+    "kafka_codec_roundtrip",
+    # -- remaining r02/r03-row holders, registration order --
+    "events_json_extract",
+    "set_union_items",
+    "pivot_status_by_priority",
+    "rollup_docs_by_source_lang",
+    "simhash_docs",
+    "cdc_existence_probe",
+    "cdc_except_changed",
+    "cdc_avg_diagnostics",
+    "cdc_theta_disagreement",
+    "cdc_filter_items",
+    "multimodal_features",
+    "multimodal_meta",
+    "dedup_ngram_jaccard",
+    "convert_list_fields",
+    "text_token_counts",
+    "q7_nation_volume",
+    "q10_returned_items",
+    # -- round-5 additions (first driver row needed) --
 ]
 
 

@@ -425,11 +425,12 @@ def test_read_changes_incremental_feed(spark, tmp_path):
 
 
 def test_dedup_auto_exact_winner_decision(spark, tmp_path, monkeypatch):
-    """The auto dedup strategy must not trust the file-row ESTIMATE when
-    it exceeds the broadcast limit: a hot-key table whose 30 delta rows
-    collapse to 8 winners must take the broadcast-join path (exact
-    narrow winner count) — the compaction-scaling fix — and produce the
-    identical final state either way."""
+    """Strategy semantics on a hot-key table whose 32 delta rows
+    collapse to 8 winners, with the broadcast limit patched below the
+    row estimate: ``auto`` must stay job-free (falls to the
+    serial-phase-free window plan), ``probe`` must discover via the
+    exact narrow count that the winners fit and take the broadcast
+    join — and every strategy must produce the identical final state."""
     from pyspark.sql import types as T
 
     payload = T.StructType([
@@ -454,13 +455,17 @@ def test_dedup_auto_exact_winner_decision(spark, tmp_path, monkeypatch):
 
     est = sum(f["rows"] or 0 for f in table.manifest()["files"])
     assert est > 10, "fixture must exceed the (patched) broadcast limit"
-    # the exact winner count (8) is under the limit → join path
+    expect = {f"k{k}": 40 + k for k in range(6)} | {"extra1": 1, "extra2": 2}
+    # auto: est over the limit → job-free window plan, correct result
     final = table.read_final(spark, strategy="auto")
     got = {r["doc_id"]: r["val"] for r in final.collect()}
-    expect = {f"k{k}": 40 + k for k in range(6)} | {"extra1": 1, "extra2": 2}
     assert got == expect
-    # both explicit strategies agree with auto
-    for strat in ("join", "agg"):
+    # probe: exact winner count (8) is under the limit → join path
+    probed = {r["doc_id"]: r["val"]
+              for r in table.read_final(spark, strategy="probe").collect()}
+    assert probed == expect
+    # every explicit strategy agrees
+    for strat in ("join", "agg", "window"):
         alt = {r["doc_id"]: r["val"]
                for r in table.read_final(spark, strategy=strat).collect()}
         assert alt == expect, strat
