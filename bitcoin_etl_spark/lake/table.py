@@ -362,7 +362,12 @@ class LakeTable:
                 if n <= self._broadcast_winner_limit:
                     strategy = "join"
                 else:
-                    winners.unpersist()
+                    # Dataset.unpersist is a no-op for checkpoint blocks
+                    # (they belong to the RDD, not the SQL cache) — free
+                    # the LogicalRDD directly
+                    from ..util import free_local_checkpoint
+
+                    free_local_checkpoint(winners)
                     winners = None
                     strategy = "agg"
         if strategy == "window":
@@ -559,14 +564,38 @@ class LakeTable:
         single-scan UPSERT/DELETE feed when the distinction doesn't
         matter downstream.
 
-        Precondition: ``_rev`` values are monotone across commits (true
-        for the change-log ``seq`` the streaming tail applies). A
-        patch-by-replay of an epoch BELOW ``rev_high(from_version)``
-        changes no winner (tombstones retained through compaction
-        guarantee this) and correctly produces no feed row."""
+        The fast path requires ``_rev`` values monotone across commits
+        (true for the change-log ``seq`` the streaming tail applies).
+        Patch-by-replay of a withheld epoch breaks that: its rows carry
+        their ORIGINAL low seq as ``_rev``, and although existing
+        winners can't change (tombstones retained through compaction
+        guarantee no resurrection), the replay CAN insert brand-new keys
+        or delete keys last touched before it — net changes below
+        ``rev_high(from_version)`` that rev-based skipping would drop.
+        Every append commit therefore records the rev range it added
+        (``appended_rev_min`` watermark); when any commit in
+        ``(from, to]`` appended revs ≤ ``rev_high(from_version)``, this
+        method falls back to a FULL SNAPSHOT DIFF of the two states
+        (correct for any rev order; costs two dedup scans + one
+        key join instead of a new-files-only scan). Commits older than
+        the watermark field are detected via manifest file-list diffs.
+
+        Retention: ``from_version``'s snapshot must still be fully
+        retained — ``vacuum(keep_versions=...)`` deletes data files of
+        old snapshots, so a consumer whose cursor lags beyond retention
+        gets a loud error here (never a silently wrong feed). When
+        tombstones are purged via ``compact(min_retained_rev=...)``,
+        the same lower bound applies to the feed cursor: keep
+        ``rev_high(cursor) ≥ min_retained_rev``."""
         m_to = self.manifest(to_version)
         schema = self.schema(to_version)
+        self._check_retained(from_version)
         rev_a = self.rev_high(from_version)
+        lo = self._min_appended_rev(from_version, m_to["version"])
+        if lo is not None and lo <= rev_a:
+            return self._snapshot_diff_feed(
+                spark, from_version, to_version, classify
+            )
         cand = [
             f for f in m_to["files"]
             if f.get("rev_max") is None or f["rev_max"] > rev_a
@@ -606,6 +635,112 @@ class LakeTable:
             out.withColumn("_change_type", ct)
             .filter(F.col("_change_type").isNotNull())
             .drop("_was", DELETED_COL)
+        )
+
+    def _check_retained(self, version: int | None) -> None:
+        """Raise loudly if ``version``'s data files were vacuumed away.
+
+        ``vacuum(keep_versions=K)`` deletes files referenced only by
+        manifests older than the last K — a change-feed consumer whose
+        cursor lags more than K versions behind must not get a partial
+        (silently wrong) state reconstruction."""
+        m = self.manifest(version)
+        missing = [
+            f["path"] for f in m["files"]
+            if not os.path.exists(os.path.join(self.path, f["path"]))
+        ]
+        if missing:
+            raise ValueError(
+                f"snapshot v{m['version']} is no longer retained: "
+                f"{len(missing)} data file(s) (first: {missing[0]}) were "
+                f"removed, most likely by vacuum(keep_versions=...). A "
+                f"change-feed cursor must stay within the vacuum "
+                f"retention window; re-seed the consumer from a full "
+                f"read_final snapshot instead."
+            )
+
+    def _min_appended_rev(self, from_version: int,
+                          to_version: int) -> int | None:
+        """Smallest ``_rev`` ADDED by any append commit in
+        ``(from_version, to_version]`` — the out-of-order (repair)
+        detector for read_changes. Served from the per-commit
+        ``appended_rev_min`` watermark; append manifests written before
+        the watermark existed fall back to a file-list diff against
+        their parent (footer stats only, no data read)."""
+        lo: int | None = None
+        prev_paths: set[str] | None = None
+        for v in range(from_version + 1, to_version + 1):
+            m = self.manifest(v)
+            if m.get("operation") not in (None, "append-delta"):
+                prev_paths = {f["path"] for f in m["files"]}
+                continue
+            if "appended_rev_min" in m:
+                v_lo = m["appended_rev_min"]
+            else:
+                if prev_paths is None:
+                    prev_paths = {
+                        f["path"] for f in self.manifest(v - 1)["files"]
+                    }
+                added = [f for f in m["files"] if f["path"] not in prev_paths]
+                need = [f for f in added if "rev_min" not in f]
+                if need:
+                    self._count_rows(need, self.path)
+                revs = [f["rev_min"] for f in added
+                        if f.get("rev_min") is not None and f.get("rows")]
+                v_lo = min(revs) if revs else None
+            prev_paths = {f["path"] for f in m["files"]}
+            if v_lo is not None and (lo is None or v_lo < lo):
+                lo = v_lo
+        return lo
+
+    def _snapshot_diff_feed(self, spark: SparkSession, from_version: int,
+                            to_version: int | None,
+                            classify: bool) -> DataFrame:
+        """Change feed as a full state diff — the correct-under-any-rev-
+        order fallback used when a repair commit wrote revs below the
+        feed cursor's high-water mark. Net change per key between the
+        two snapshots' latest images: rows whose (``_rev``,
+        ``_deleted``) pair differs, classified against the BEFORE
+        liveness exactly like the fast path (a key dead on both sides
+        nets to nothing; a never-alive delete is dropped)."""
+        before = self._dedup_latest(
+            spark, self.manifest(from_version)["files"],
+            self.schema(from_version), "auto",
+        ).select(
+            F.col(self.key),
+            F.col(REV_COL).alias("_b_rev"),
+            F.col(DELETED_COL).alias("_b_del"),
+        )
+        schema = self.schema(to_version)
+        after = self._dedup_latest(
+            spark, self.manifest(to_version)["files"], schema, "auto"
+        )
+        j = after.join(before, self.key, "left")
+        changed = j.filter(
+            F.col("_b_rev").isNull()
+            | (F.col(REV_COL) != F.col("_b_rev"))
+            | (F.col(DELETED_COL) != F.col("_b_del"))
+        )
+        was_alive = F.col("_b_rev").isNotNull() & ~F.col("_b_del")
+        if classify:
+            ct = (
+                F.when(F.col(DELETED_COL) & was_alive, "DELETE")
+                .when(F.col(DELETED_COL), F.lit(None).cast("string"))
+                .when(was_alive, "UPDATE_AFTER")
+                .otherwise("INSERT")
+            )
+        else:
+            ct = (
+                F.when(F.col(DELETED_COL) & was_alive, "DELETE")
+                .when(F.col(DELETED_COL), F.lit(None).cast("string"))
+                .otherwise("UPSERT")
+            )
+        payload = [f.name for f in schema.fields if f.name != self.key]
+        return (
+            changed.withColumn("_change_type", ct)
+            .filter(F.col("_change_type").isNotNull())
+            .select(self.key, *[c for c in payload if c != DELETED_COL],
+                    "_change_type")
         )
 
     def _next_manifest(self, operation: str) -> dict:
@@ -678,6 +813,21 @@ class LakeTable:
         rows = sum(e["rows"] for e in entries)
         nm = self._next_manifest("append-delta")
         nm["files"].extend(entries)
+        # repair watermark: the rev range this commit ADDS. read_changes
+        # uses it to detect out-of-order commits (patch-by-replay of a
+        # withheld epoch carries its ORIGINAL low seq as _rev) inside a
+        # feed range and fall back to a full snapshot diff — rev-based
+        # file skipping would silently drop such a commit's net changes
+        # (new keys inserted, or old keys deleted, at a rev below the
+        # consumer's high-water mark).
+        revs = [e["rev_min"] for e in entries
+                if e.get("rev_min") is not None and e["rows"]]
+        if revs:
+            nm["appended_rev_min"] = min(revs)
+            nm["appended_rev_max"] = max(
+                e["rev_max"] for e in entries
+                if e.get("rev_max") is not None and e["rows"]
+            )
         extra = dict(stats or {})
         if stats_cb is not None:
             # data write (the action) is done — observed metrics are ready;

@@ -4,12 +4,28 @@ Scale design: every operator avoids the pairwise cross product — the
 only joins are equi-joins on hashes/buckets/signatures, so shuffle
 volume is O(docs × signature width), never O(docs²). Candidate
 verification (exact Jaccard) happens only on LSH-bucketed candidates.
+
+Checkpoint lifecycle: the n-gram/winnow pair generators materialize
+their per-doc and capped streams with ``localCheckpoint`` (plan
+barriers — see the inline comments for the two optimizer hazards that
+force this). Those blocks are non-replicated executor storage: they are
+NOT lineage-recoverable after an executor loss (the job fails and must
+be rerun — acceptable for a batch dedup pass, but a caller embedding
+these frames in a long-lived pipeline should be aware), and they live
+until the returned frame is garbage-collected. A caller running MANY
+dedup passes in one session can release a consumed result's blocks
+deterministically with ``bitcoin_etl_spark.util.free_local_checkpoint``
+(``connected_components`` already frees its per-round checkpoints this
+way).
 """
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, functions as F
 
+from ..util import free_local_checkpoint
 from .text import fingerprint, tokenize
 
 
@@ -17,9 +33,34 @@ from .text import fingerprint, tokenize
 # spark.sql.shuffle.partitions (a shuffle already happened or is coming),
 # not by the input file layout — _spread must not touch those.
 _SHUFFLED_PLAN_NODES = (
-    "Join", "Aggregate", "Sort", "Repartition", "Window", "Deduplicate",
-    "Union", "GlobalLimit",
+    "Join", "Aggregate", "Sort", "Repartition", "RepartitionByExpression",
+    "Window", "Deduplicate", "Union", "GlobalLimit",
 )
+
+
+def _has_shuffled_node(df: DataFrame) -> bool:
+    """True if the ANALYZED logical plan contains any node whose class
+    name (exactly — not a substring of the rendered plan, which also
+    contains attribute names like ``SortKey#12`` or ``JoinDate`` that
+    would false-positive) marks the frame as derived/shuffled. Walks
+    the JVM plan tree via py4j; on any reflection hiccup falls back to
+    word-boundaried node-header matching on the plan string."""
+    try:
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            if node.nodeName() in _SHUFFLED_PLAN_NODES:
+                return True
+            kids = node.children()
+            for i in range(kids.size()):
+                stack.append(kids.apply(i))
+        return False
+    except Exception:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        header = re.compile(
+            r"(?:^|\n)[+:\- ]*(?:" + "|".join(_SHUFFLED_PLAN_NODES) + r")\b"
+        )
+        return header.search(plan) is not None
 
 
 def _spread(df: DataFrame, *cols: str) -> DataFrame:
@@ -43,8 +84,7 @@ def _spread(df: DataFrame, *cols: str) -> DataFrame:
     output inside ``corpus_clean_pipeline``)."""
     if df.isStreaming:
         return df
-    plan = df._jdf.queryExecution().analyzed().toString()
-    if any(node in plan for node in _SHUFFLED_PLAN_NODES):
+    if _has_shuffled_node(df):
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
@@ -514,7 +554,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neigh = (
             sym.join(labels, sym.v == labels.node)
             .groupBy("u")
@@ -555,7 +595,14 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             obs, F.sum(F.col("_chg").cast("long")).alias("changed")
         ).localCheckpoint(eager=True)
         changed = obs.get["changed"] or 0
+        # round N is materialized: round N-1's checkpoint blocks are no
+        # longer referenced by any live plan — free them now instead of
+        # letting ~max_iter rounds of non-replicated blocks pile up in
+        # executor storage until JVM GC (ADVICE r04)
+        prev = labels
         labels = new.drop("_chg", "_old")
+        if it > 0:
+            free_local_checkpoint(prev)
         if not changed:
             break
     else:
@@ -565,6 +612,9 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             "ids). Raise max_iter — convergence needs ~log2(component "
             "diameter) rounds."
         )
+    # the result plan references only the FINAL round's checkpoint; the
+    # edge list served its last join, so release its blocks too
+    free_local_checkpoint(sym)
     return labels.select("node", F.col("label").alias("component"))
 
 

@@ -29,8 +29,29 @@ def _h32(col) -> "F.Column":
     ).cast("long")
 
 
+# auto-fanout sizing: target ≤ ~256k hashes (≈2 MB of longs) buffered
+# per level-1 cell, capped so the level-2 merge input (fanout × k longs
+# per group) stays small
+CELL_TARGET = 1 << 18
+MAX_FANOUT = 4096
+
+
+def _auto_fanout(df: DataFrame, group_col: str, key_col: str) -> int:
+    """Size the level-1 fanout from a cheap pre-pass: the LARGEST
+    per-group approximate distinct count (HLL partial-agg, two narrow
+    shuffles of O(groups) rows) divided by the per-cell buffer target.
+    The pre-pass affects CONFIG only — kmv_distinct's output is
+    identical for any sufficient fanout — so the HLL estimate being
+    oracle-unreproducible doesn't leak into checked results."""
+    row = df.groupBy(group_col).agg(
+        F.approx_count_distinct(key_col).alias("d")
+    ).agg(F.max("d")).first()
+    max_d = row[0] or 0
+    return max(1, min(MAX_FANOUT, -(-int(max_d) // CELL_TARGET)))
+
+
 def kmv_distinct(df: DataFrame, group_col: str, key_col: str,
-                 k: int = 64, fanout: int = 64) -> DataFrame:
+                 k: int = 64, fanout: int | str = "auto") -> DataFrame:
     """Per-group KMV distinct-count sketch: (group, n_kept, kth_min,
     est_distinct). ``n_kept`` = |synopsis| ≤ k; when n_kept < k the
     estimate is the exact distinct count.
@@ -41,12 +62,17 @@ def kmv_distinct(df: DataFrame, group_col: str, key_col: str,
     (group, hash % fanout) cell, level 2 merges the ≤ fanout×k
     candidates per group. The level-1 state is bounded by k per cell
     AFTER slicing but collect_list holds a cell's distinct hashes
-    (~distinct/fanout) during aggregation — size ``fanout`` so that
-    stays executor-memory-bounded (the same sizing judgement as any
-    collect_list; a skew-proof variant would need a custom JVM
-    Aggregator, which pyspark cannot register). No windows, no sorts
-    of the full stream — only array_sort over ≤ max(cell, fanout×k)
-    element arrays."""
+    (~distinct/fanout) during aggregation — ``fanout="auto"`` (default)
+    sizes it from an approx_count_distinct pre-pass so every cell
+    buffers ≤ ~CELL_TARGET hashes regardless of group cardinality
+    (removes the manual-sizing footgun; pass an int to skip the
+    pre-pass job when the cardinality is known). A skew-proof variant
+    would need a custom JVM Aggregator, which pyspark cannot register.
+    No windows, no sorts of the full stream — only array_sort over
+    ≤ max(cell, fanout×k) element arrays. Output is fanout-invariant:
+    the k smallest of a union don't depend on how cells partition it."""
+    if fanout == "auto":
+        fanout = _auto_fanout(df, group_col, key_col)
     h = df.select(
         F.col(group_col).alias("grp"), _h32(F.col(key_col)).alias("h")
     ).distinct()

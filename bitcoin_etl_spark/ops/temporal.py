@@ -25,7 +25,8 @@ def _us(col: Column) -> Column:
 
 
 def asof_join(probe: DataFrame, state: DataFrame, key: str, ts: str,
-              state_cols: list[str], suffix: str = "_asof") -> DataFrame:
+              state_cols: list[str], suffix: str = "_asof",
+              split_seconds: int | None = None) -> DataFrame:
     """Left as-of join: for every probe row, attach the ``state_cols``
     of the state row with the LARGEST ``ts`` ≤ the probe's ``ts`` for
     the same ``key`` (inclusive — a state row AT the probe timestamp is
@@ -39,11 +40,21 @@ def asof_join(probe: DataFrame, state: DataFrame, key: str, ts: str,
     ``key``, map-side running-last, no join build side, no range
     explosion; Spark's own alternative for this semantics is a
     BroadcastNestedLoopJoin theta join (quadratic) or a per-key
-    collect_list UDF (driver-bound). Hot keys concentrate into one
-    window partition — at 100 TB pre-split pathological keys by a time
-    coarse-bucket and as-of within the bucket, carrying the previous
-    bucket's closing state forward (the standard salted-window fix).
-    """
+    collect_list UDF (driver-bound).
+
+    Hot keys: with the default ``split_seconds=None`` all of one key's
+    history lands in ONE window partition — fine until a Zipf key holds
+    a material fraction of the data. Pass ``split_seconds`` to pre-split
+    every key by a time coarse-bucket: the window partitions on
+    (key, bucket) so a hot key's history spreads across
+    history_span/split_seconds partitions, and correctness across the
+    cut is restored by injecting each bucket's carried-forward closing
+    state (the latest state row from any EARLIER bucket) as a synthetic
+    state row at the bucket boundary. Costs two extra small shuffles of
+    O(keys × buckets) rows (closing-state agg + carry window); choose
+    ``split_seconds`` so a hot key emits ~shuffle-partition-sized slices
+    per bucket. Result is row-identical to the unsplit path (pinned by
+    test against a Zipf fixture)."""
     pcols = probe.columns
     tagged_state = state.select(
         F.col(key), F.col(ts),
@@ -59,9 +70,18 @@ def asof_join(probe: DataFrame, state: DataFrame, key: str, ts: str,
           for c in state_cols],
         *[F.col(c) for c in pcols if c not in (key, ts)],
     )
-    both = tagged_state.unionByName(tagged_probe)
+    if split_seconds is not None:
+        carry = _asof_carry_rows(
+            tagged_state, probe, key, ts, state_cols, suffix, split_seconds
+        )
+        both = tagged_state.unionByName(carry).unionByName(tagged_probe)
+        bucket = F.floor(_us(F.col(ts)) / (split_seconds * 1_000_000))
+        part = [F.col(key), bucket.alias("_split")]
+    else:
+        both = tagged_state.unionByName(tagged_probe)
+        part = [F.col(key)]
     w = (
-        W.partitionBy(key)
+        W.partitionBy(*part)
         .orderBy(F.col(ts), F.col("_tag"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
@@ -71,6 +91,73 @@ def asof_join(probe: DataFrame, state: DataFrame, key: str, ts: str,
             f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w)
         )
     return out.filter(F.col("_tag") == 1).drop("_tag")
+
+
+def _asof_carry_rows(tagged_state: DataFrame, probe: DataFrame, key: str,
+                     ts: str, state_cols: list[str], suffix: str,
+                     split_seconds: int) -> DataFrame:
+    """Synthetic state rows carrying each coarse bucket's opening state.
+
+    For every (key, bucket) that contains probe rows, emit one row at
+    the exact bucket-start timestamp holding the state columns of the
+    key's latest state row from any STRICTLY EARLIER bucket (same-bucket
+    state must not be backdated past probes that precede it). Tagged -1
+    so it sorts before real state at the boundary instant and is
+    superseded by any real in-bucket state via the running last().
+    Buckets whose carry is entirely NULL (no earlier state) are dropped.
+
+    Shuffle cost: one partial agg of state to O(keys × state-buckets)
+    closing rows, one key-partitioned window over
+    O(keys × (state+probe buckets)) marker rows — both negligible next
+    to the main sweep, and the per-key window here is bounded by bucket
+    count, not row count, so it cannot itself become the hot partition.
+    """
+    bs = split_seconds * 1_000_000
+    sb = F.floor(_us(F.col(ts)) / bs)
+    scols = [f"{c}{suffix}" for c in state_cols]
+    # one closing-state row per (key, state-bucket): latest by (ts, tag)
+    closing = (
+        tagged_state
+        .withColumn("_split", sb)
+        .groupBy(key, "_split")
+        .agg(F.max_by(
+            F.struct(*scols), F.struct(F.col(ts), F.col("_tag"))
+        ).alias("_close"))
+        .select(key, "_split", F.lit(0).alias("_mk"), "_close")
+    )
+    markers = (
+        probe
+        .select(F.col(key), sb.alias("_split"))
+        .distinct()
+        .select(key, "_split", F.lit(-1).alias("_mk"),
+                F.lit(None).cast(closing.schema["_close"].dataType)
+                .alias("_close"))
+    )
+    # marker _mk=-1 sorts BEFORE the same bucket's closing row, so the
+    # running last() sees only closings from buckets < marker's bucket
+    cw = (
+        W.partitionBy(key)
+        .orderBy(F.col("_split"), F.col("_mk"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = (
+        closing.unionByName(markers)
+        .withColumn("_carry", F.last("_close", ignorenulls=True).over(cw))
+        .filter((F.col("_mk") == -1) & F.col("_carry").isNotNull())
+    )
+    probe_schema = {f.name: f.dataType for f in probe.schema.fields}
+    return carried.select(
+        F.col(key),
+        # bucket-start instant, same type as ts (micros→TIMESTAMP→ts-type
+        # mirrors _us's NTZ handling under the UTC-pinned session)
+        F.timestamp_micros((F.col("_split") * bs).cast("long"))
+        .cast(probe_schema[ts]).alias(ts),
+        F.lit(-1).alias("_tag"),
+        *[F.col("_carry")[c].alias(c) for c in
+          [f"{s}{suffix}" for s in state_cols]],
+        *[F.lit(None).cast(probe_schema[c]).alias(c)
+          for c in probe.columns if c not in (key, ts)],
+    )
 
 
 def sessionize(df: DataFrame, key: str, ts: str,

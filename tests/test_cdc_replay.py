@@ -503,3 +503,110 @@ def test_read_changes_across_schema_evolution(spark, tmp_path):
         "c": ("INSERT", 30, "curated"),
     }
     assert "source_meta" in [f.name for f in table.payload_schema().fields]
+
+
+def test_read_changes_repair_watermark_forces_snapshot_diff(spark, tmp_path):
+    """Patch-by-replay of a withheld epoch writes rows at their ORIGINAL
+    low seq — below the feed cursor's rev high-water mark. The appended-
+    rev watermark must detect the out-of-order commit inside the feed
+    range and fall back to a full snapshot diff, surfacing the net
+    changes rev-skipping would drop: a brand-new key inserted by the
+    replayed epoch and a delete of a key last touched before it
+    (ADVICE r04 medium)."""
+    from pyspark.sql import types as T
+
+    payload = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("val", T.LongType(), True),
+    ])
+    table = LakeTable.create(str(tmp_path / "t"), payload, n_buckets=4)
+
+    def delta(rows, epoch):
+        df = spark.createDataFrame(
+            rows, "doc_id string, val long, _rev long, _deleted boolean"
+        )
+        table.append_delta(df, epoch_id=epoch)
+
+    # epochs 1 (revs 1-2) and 3 (revs 7-8) applied; epoch 2 (revs 4-6)
+    # withheld. 'old' is last touched in epoch 1.
+    delta([("old", 1, 1, False), ("a", 2, 2, False)], 1)
+    delta([("a", 30, 7, False), ("b", 40, 8, False)], 3)
+    v_cursor = table.current_version()
+    assert table.rev_high(v_cursor) == 8
+
+    # the withheld epoch 2: inserts brand-new key 'new' (rev 4), deletes
+    # 'old' (rev 5, beats old's rev 1), and re-updates 'a' (rev 6 — must
+    # LOSE to a's rev-7 image, no feed row)
+    delta([("new", 99, 4, False), ("old", None, 5, True),
+           ("a", 777, 6, False)], 2)
+    v_after = table.current_version()
+
+    # watermark sees the low-rev commit in range
+    assert table._min_appended_rev(v_cursor, v_after) == 4
+    feed = {
+        r["doc_id"]: (r["_change_type"], r["val"])
+        for r in table.read_changes(spark, v_cursor, v_after).collect()
+    }
+    assert feed == {"new": ("INSERT", 99), "old": ("DELETE", None)}
+    up = {
+        r["doc_id"]: r["_change_type"]
+        for r in table.read_changes(
+            spark, v_cursor, v_after, classify=False).collect()
+    }
+    assert up == {"new": "UPSERT", "old": "DELETE"}
+
+    # a feed range NOT containing the repair stays on the fast path and
+    # still sees later in-order commits
+    delta([("c", 5, 9, False)], 4)
+    v_final = table.current_version()
+    assert table._min_appended_rev(v_after, v_final) == 9
+    feed2 = {
+        r["doc_id"]: (r["_change_type"], r["val"])
+        for r in table.read_changes(spark, v_after, v_final).collect()
+    }
+    assert feed2 == {"c": ("INSERT", 5)}
+
+    # full-range feed from the empty snapshot nets everything correctly
+    # (repair included: 'old' inserted then deleted → absent)
+    feed0 = {
+        r["doc_id"]: (r["_change_type"], r["val"])
+        for r in table.read_changes(spark, 0, v_final).collect()
+    }
+    assert feed0 == {
+        "a": ("INSERT", 30), "b": ("INSERT", 40),
+        "new": ("INSERT", 99), "c": ("INSERT", 5),
+    }
+
+
+def test_read_changes_retention_guard(spark, tmp_path):
+    """A feed cursor lagging beyond vacuum retention must fail LOUDLY
+    (never reconstruct a partial from-state): read_changes raises a
+    ValueError naming the vacuumed snapshot once its data files are
+    gone (ADVICE r04: ChangeFeedTailer retention guard)."""
+    import pytest
+    from pyspark.sql import types as T
+
+    payload = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("val", T.LongType(), True),
+    ])
+    table = LakeTable.create(str(tmp_path / "t"), payload, n_buckets=4)
+
+    def delta(rows, epoch):
+        df = spark.createDataFrame(
+            rows, "doc_id string, val long, _rev long, _deleted boolean"
+        )
+        table.append_delta(df, epoch_id=epoch)
+
+    delta([("a", 1, 1, False)], 0)
+    v_old = table.current_version()
+    delta([("b", 2, 2, False)], 1)
+    # compaction rewrites everything; vacuum(1) then deletes v_old's files
+    table.compact(spark)
+    removed = table.vacuum(keep_versions=1)
+    assert removed > 0
+    with pytest.raises(ValueError, match="no longer retained"):
+        table.read_changes(spark, v_old)
+    # the head snapshot is always readable
+    head = table.current_version()
+    assert table.read_changes(spark, head).count() == 0

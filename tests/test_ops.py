@@ -636,3 +636,139 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             assert g is None, pid
         else:
             assert g == int(sval), pid
+
+
+def test_asof_join_hot_key_split_matches_plain(spark):
+    """The split_seconds hot-key pre-split (window on (key, time-bucket)
+    + carried-forward closing state) must be ROW-IDENTICAL to the plain
+    single-window path on a Zipf-skewed fixture where one key holds half
+    of all rows — including probes in buckets with no local state (carry
+    from an earlier bucket), probes before any state (NULL), and probes
+    exactly at a bucket boundary."""
+    import numpy as np
+    import pandas as pd
+
+    from bitcoin_etl_spark.ops.temporal import asof_join
+
+    rng = np.random.RandomState(11)
+    base = pd.Timestamp("2024-01-01")
+    # Zipf-ish: key 0 takes ~half the rows; keys 1-9 share the rest
+    keys = np.where(rng.rand(600) < 0.5, 0, rng.randint(1, 10, 600))
+    state = pd.DataFrame({
+        "k": keys[:200],
+        "ts": base + pd.to_timedelta(rng.randint(0, 50_000, 200), unit="s"),
+        "sval": np.arange(200, dtype="int64"),
+    }).drop_duplicates(["k", "ts"])
+    probe = pd.DataFrame({
+        "k": keys[200:],
+        # wider probe range than state: late buckets carry state forward
+        "ts": base + pd.to_timedelta(
+            np.concatenate([
+                rng.randint(0, 100_000, 396),
+                # exact bucket-boundary probes (bucket = 3600 s)
+                np.array([3600, 7200, 36_000, 0]),
+            ]), unit="s"),
+        "pid": np.arange(400, dtype="int64"),
+    })
+    sdf, pdf = spark.createDataFrame(state), spark.createDataFrame(probe)
+    plain = {
+        r["pid"]: r["sval_asof"]
+        for r in asof_join(pdf, sdf, "k", "ts", ["sval"]).collect()
+    }
+    split = {
+        r["pid"]: r["sval_asof"]
+        for r in asof_join(
+            pdf, sdf, "k", "ts", ["sval"], split_seconds=3600
+        ).collect()
+    }
+    assert len(split) == 400
+    assert split == plain
+    # and the plain path itself is pinned against pandas elsewhere; spot
+    # re-check the independent oracle here on the split output
+    expect = pd.merge_asof(
+        probe.sort_values("ts"), state.sort_values("ts"),
+        on="ts", by="k", direction="backward",
+    ).set_index("pid")["sval"]
+    for pid, sval in expect.items():
+        g = split[pid]
+        assert (g is None) if pd.isna(sval) else (g == int(sval)), pid
+
+
+def test_kmv_auto_fanout_sizes_from_cardinality(spark, monkeypatch):
+    """fanout='auto' must size the level-1 cell split from the LARGEST
+    per-group approximate cardinality (cell target patched down so the
+    effect shows at test scale), and the sketch output must be identical
+    for auto and any explicit sufficient fanout (the min-k of a union is
+    partition-invariant)."""
+    from bitcoin_etl_spark.ops import sketch
+
+    df = spark.range(8_000).select(
+        F.when(F.col("id") < 100, "small").otherwise("skewed").alias("grp"),
+        F.when(F.col("id") < 100, F.col("id") % 5)
+        .otherwise(F.col("id")).alias("key"),
+    )
+    monkeypatch.setattr(sketch, "CELL_TARGET", 1000)
+    fan = sketch._auto_fanout(df, "grp", "key")
+    # ~7900 distinct in the skewed group / 1000-target → ≥4 cells, and
+    # far under the cap
+    assert 4 <= fan <= 64, fan
+    auto = {r["grp"]: (r["n_kept"], r["kth_min"], r["est_distinct"])
+            for r in sketch.kmv_distinct(df, "grp", "key", k=32).collect()}
+    for explicit in (1, fan, 257):
+        out = {r["grp"]: (r["n_kept"], r["kth_min"], r["est_distinct"])
+               for r in sketch.kmv_distinct(
+                   df, "grp", "key", k=32, fanout=explicit).collect()}
+        assert out == auto, explicit
+
+
+def test_spread_ignores_attribute_names_matching_plan_nodes(spark, docs):
+    """Regression for the substring false-positive (ADVICE r04): a
+    SCAN-STAGE frame whose COLUMN names contain plan-node words
+    ('SortKey', 'JoinDate', 'WindowStart') must still be spread — the
+    node detection must compare node class names, not search the
+    rendered plan string (which embeds attribute names)."""
+    from bitcoin_etl_spark.ops.dedup import _has_shuffled_node, _spread
+
+    scan = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").alias("SortKey"),
+        F.col("text").alias("JoinDate"),
+        F.col("lang").alias("WindowStart"),
+    )
+    assert not _has_shuffled_node(scan)
+    spread = _spread(scan, "SortKey")
+    assert "Repartition" in spread._jdf.queryExecution().analyzed().toString()
+    # and true derived frames are still detected
+    assert _has_shuffled_node(scan.groupBy("WindowStart").count())
+    assert _has_shuffled_node(scan.orderBy("SortKey"))
+    assert _has_shuffled_node(scan.limit(5))
+
+
+def test_connected_components_releases_round_checkpoints(spark):
+    """The pointer-jumping loop localCheckpoints every round; rounds
+    0..N-1's blocks must be RELEASED as the loop advances (ADVICE r04:
+    Dataset.unpersist is a no-op for checkpoint blocks — the engine
+    frees the LogicalRDD directly). After consuming the result, at most
+    the final round's checkpoint may remain in executor storage."""
+    import time as _time
+
+    from bitcoin_etl_spark.ops.dedup import connected_components
+
+    sc = spark.sparkContext
+
+    def n_cached():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    before = n_cached()
+    # a path graph forces several propagation rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    comp = connected_components(edges)
+    assert comp.select(F.countDistinct("component")).first()[0] == 1
+    # async unpersist: give the cleaner a moment
+    deadline = _time.time() + 10
+    while n_cached() - before > 1 and _time.time() < deadline:
+        _time.sleep(0.25)
+    assert n_cached() - before <= 1, (
+        f"leaked checkpoint blocks: {n_cached() - before}"
+    )

@@ -135,3 +135,70 @@ def test_change_feed_tailer_exactly_once_ranges(spark, tmp_path):
     log = t3.run_available()
     assert len(log) == 2  # two chunks to reach head
     assert log[0]["to_version"] - log[0]["from_version"] == 2
+
+
+def test_change_feed_tailer_crash_between_sink_and_cursor(spark, tmp_path):
+    """At-least-once → exactly-once convergence under crash-replay
+    (VERDICT r04 #7): the sink THROWS after materializing its effect
+    (crash between sink work and cursor write); the cursor must NOT
+    advance, the retry must re-deliver the SAME range with identical
+    content, and an idempotent sink (keyed on the range) converges to
+    the single-delivery state."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from bitcoin_etl_spark.lake.table import LakeTable
+    from bitcoin_etl_spark.streaming.feed import ChangeFeedTailer
+
+    payload = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("val", T.LongType(), True),
+    ])
+    table = LakeTable.create(str(tmp_path / "t"), payload, n_buckets=4)
+
+    def delta(rows, epoch):
+        df = spark.createDataFrame(
+            rows, "doc_id string, val long, _rev long, _deleted boolean"
+        )
+        table.append_delta(df, epoch_id=epoch)
+
+    # idempotent sink: state keyed on the (from, to) range — a replayed
+    # range overwrites itself, so delivery count doesn't matter
+    state: dict[tuple[int, int], dict] = {}
+    crashes = {"armed": True}
+
+    def sink(df, from_v, to_v):
+        rows = {r["doc_id"]: (r["_change_type"], r["val"])
+                for r in df.collect()}
+        state[(from_v, to_v)] = rows  # effect lands BEFORE the crash
+        if crashes["armed"]:
+            crashes["armed"] = False
+            raise RuntimeError("simulated crash after sink effect")
+
+    cursor = str(tmp_path / "cursor.json")
+    tailer = ChangeFeedTailer(spark, table, sink, cursor)
+    delta([("a", 1, 1, False)], 0)
+    assert tailer.run_available() == []  # cursor initialized at head
+    v0 = table.current_version()
+
+    delta([("a", 2, 2, False), ("b", 3, 3, False)], 1)
+    try:
+        tailer.run_available()
+        raise AssertionError("sink crash must propagate")
+    except RuntimeError:
+        pass
+    # crash before cursor write: cursor still at v0
+    assert _json.load(open(cursor))["last_version"] == v0
+    first_delivery = dict(state)
+
+    # retry (fresh tailer = process restart): same range, same content,
+    # idempotent state converges to exactly the single-delivery outcome
+    t2 = ChangeFeedTailer(spark, table, sink, cursor)
+    log = t2.run_available()
+    assert [e["from_version"] for e in log] == [v0]
+    assert state == first_delivery
+    assert state[(v0, table.current_version())] == {
+        "a": ("UPDATE_AFTER", 2), "b": ("INSERT", 3),
+    }
+    assert _json.load(open(cursor))["last_version"] == table.current_version()
