@@ -430,6 +430,57 @@ class LakeTable:
         ]
         return self._read_files(spark, picked, self.schema())
 
+    def _point_lookup_files(self, value: str, bucket: int,
+                            version: int | None = None) -> list[dict]:
+        """Files that can possibly contain ``value``: bucket-pruned
+        (a bucketed file only holds its bucket's keys) then key-range
+        pruned from the manifest's footer min/max stats (the Iceberg
+        lower/upper-bounds skip). Unbucketed or stats-less files are
+        always candidates (never silently skipped)."""
+        out = []
+        for f in self.manifest(version)["files"]:
+            if f.get("bucket") is not None and f["bucket"] != bucket:
+                continue
+            if "key_min" in f and not (f["key_min"] <= value <= f["key_max"]):
+                continue
+            out.append(f)
+        return out
+
+    def point_lookup(self, spark: SparkSession, value,
+                     version: int | None = None) -> DataFrame:
+        """Latest live row image for ONE key — the O(1)-ish read path.
+
+        Scan cost is the handful of files whose hash bucket AND footer
+        key range admit the key (``_point_lookup_files``), not the
+        table: at 10^10 rows with 4k buckets and compacted bases this is
+        typically 1-2 files, each further row-group-pruned by parquet's
+        own key statistics under the pushed ``key = value`` filter.
+        Returns an empty frame if the key is absent or deleted."""
+        bucket_row = spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(value)), F.lit(self.n_buckets))
+        ).first()
+        cand = self._point_lookup_files(value, int(bucket_row[0]), version)
+        schema = self.schema(version)
+        if not cand:
+            return spark.createDataFrame([], schema).filter(
+                ~F.col(DELETED_COL)
+            ).drop(DELETED_COL)
+        df = self._read_files(spark, cand, schema).filter(
+            F.col(self.key) == F.lit(value)
+        )
+        latest = self._dedup_latest_frame(df, schema)
+        return latest.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
+
+    def _dedup_latest_frame(self, df: DataFrame,
+                            schema: T.StructType) -> DataFrame:
+        """max_by last-writer-wins over an already-loaded frame (the agg
+        strategy, for tiny pre-pruned inputs)."""
+        payload = [f.name for f in schema.fields if f.name != self.key]
+        agg = df.groupBy(self.key).agg(
+            F.max_by(F.struct(*payload), F.col(REV_COL)).alias("_latest")
+        )
+        return agg.select(self.key, "_latest.*")
+
     # ---------------------------------------------------------------- writes
     def _bucket_expr(self):
         return F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets))
@@ -488,16 +539,35 @@ class LakeTable:
         return entries
 
     @staticmethod
-    def _count_rows(entries: list[dict], table_path: str) -> None:
-        """Fill per-file row counts AND ``_rev`` min/max from parquet
-        footer statistics (no data read) — the rev range drives
-        file-skipping in ``read_changes``."""
+    def _count_rows(entries: list[dict], table_path: str,
+                    key: str | None = None) -> None:
+        """Fill per-file row counts, ``_rev`` min/max, and (when ``key``
+        is given) merge-key min/max from parquet footer statistics (no
+        data read). The rev range drives file-skipping in
+        ``read_changes``; the key range drives file-skipping in
+        ``point_lookup`` — the Iceberg lower_bounds/upper_bounds
+        manifest-stats analog."""
         from concurrent.futures import ThreadPoolExecutor
 
         import pyarrow.parquet as pq
 
+        def _minmax(md, name):
+            try:
+                idx = md.schema.names.index(name)
+            except ValueError:
+                return None
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None  # stats disabled: never skipped
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            return (lo, hi) if hi is not None else None
+
         def _one(e):
-            if e["rows"] is not None and "rev_max" in e:
+            done_key = key is None or "key_max" in e
+            if e["rows"] is not None and "rev_max" in e and done_key:
                 return
             md = pq.ParquetFile(
                 os.path.join(table_path, e["path"])
@@ -508,19 +578,17 @@ class LakeTable:
                 # below-everything rev range so read_changes skips it
                 e["rev_min"] = e["rev_max"] = -(1 << 62)
                 return
-            try:
-                idx = md.schema.names.index(REV_COL)
-            except ValueError:
-                return
-            lo, hi = None, None
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
-                if st is None or not st.has_min_max:
-                    return  # stats disabled: leave unset → never skipped
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
-            if hi is not None:
-                e["rev_min"], e["rev_max"] = int(lo), int(hi)
+            mm = _minmax(md, REV_COL)
+            if mm is not None:
+                e["rev_min"], e["rev_max"] = int(mm[0]), int(mm[1])
+            if key is not None:
+                km = _minmax(md, key)
+                if km is not None:
+                    lo, hi = km
+                    if isinstance(lo, bytes):
+                        lo, hi = lo.decode("utf-8", "replace"), \
+                            hi.decode("utf-8", "replace")
+                    e["key_min"], e["key_max"] = lo, hi
 
         with ThreadPoolExecutor(max_workers=16) as ex:
             list(ex.map(_one, entries))
@@ -809,7 +877,7 @@ class LakeTable:
         entries = self._write_data(aligned, sub, by_bucket=False)
         for e in entries:
             e["kind"] = "delta"
-        self._count_rows(entries, self.path)
+        self._count_rows(entries, self.path, key=self.key)
         rows = sum(e["rows"] for e in entries)
         nm = self._next_manifest("append-delta")
         nm["files"].extend(entries)
@@ -869,7 +937,7 @@ class LakeTable:
         entries = self._write_data(df, sub, by_bucket=True)
         for e in entries:
             e["kind"] = "delta"
-        self._count_rows(entries, self.path)
+        self._count_rows(entries, self.path, key=self.key)
         nm = self._next_manifest("compact-minor")
         drop = {f["path"] for f in todo}
         nm["files"] = [
@@ -945,7 +1013,7 @@ class LakeTable:
         entries = self._write_data(final, sub, by_bucket=True, shuffle=False)
         for e in entries:
             e["kind"] = "base"
-        self._count_rows(entries, self.path)
+        self._count_rows(entries, self.path, key=self.key)
         nm = self._next_manifest(
             "compact" if buckets is None else "compact-buckets"
         )

@@ -3123,6 +3123,207 @@ def events_value_histogram(spark, sf_dir):
 
 
 # =========================================================================
+# Round-5 additions: CDC operational metrics, weighted sampling, and two
+# more TPC-H-shape join/conditional-aggregate queries
+# =========================================================================
+
+@_q(
+    "cdc_churn_by_epoch",
+    """
+    SELECT CAST(seq // 2000 AS BIGINT) AS epoch,
+           CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_upserts,
+           CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_deletes,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_keys
+    FROM (
+      SELECT event_id AS seq,
+             'doc_' || CAST(user_id AS VARCHAR) AS doc_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM events
+    )
+    GROUP BY 1
+    """,
+)
+def cdc_churn_by_epoch(spark, sf_dir):
+    """CDC operational metric (T8/A7 family): per-epoch churn — upsert
+    and delete event counts plus distinct keys touched — from the change
+    log, the per-batch counter panel a 10^10-event replay dashboards
+    (reference `blockchainetl/streaming/streamer.py` logs per-batch
+    counts; the ClickHouse sync scripts re-derive them with count
+    guards). One partial-agg shuffle on the epoch; the distinct-key
+    count is the expensive half (two-phase hash agg), bounded by keys
+    per epoch, not table size."""
+    ch = _changes_from_events(spark, sf_dir)
+    epoch = F.expr("seq DIV 2000").cast("long")
+    return ch.groupBy(epoch.alias("epoch")).agg(
+        F.sum(F.when(F.col("op") == "U", 1).otherwise(0)).cast("long")
+        .alias("n_upserts"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).cast("long")
+        .alias("n_deletes"),
+        F.countDistinct("doc_id").cast("long").alias("n_keys"),
+    )
+
+
+@_q(
+    "sample_weighted_ppm",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+               % 1000000 AS bucket
+      FROM documents
+    )
+    WHERE bucket < least(n_chars * 500, 1000000)
+    """,
+)
+def sample_weighted_ppm(spark, sf_dir):
+    """Size-weighted Bernoulli sampling: inclusion probability
+    proportional to document length (500 ppm per char, capped at 1) via
+    the same deterministic md5 ppm-bucket as `sample_stratified` —
+    integer arithmetic end-to-end so any SQL engine reproduces the
+    exact sample. The length-biased pass a token-budget corpus draw
+    uses (longer docs carry more tokens, so uniform-by-doc sampling
+    under-represents them). Zero shuffles: narrow filter over the
+    scan."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long") % 1_000_000
+    )
+    p_ppm = F.least(F.col("n_chars") * 500, F.lit(1_000_000))
+    return docs.filter(bucket < p_ppm).select("doc_id", "lang", "n_chars")
+
+
+@_q(
+    "q12_priority_by_status",
+    """
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def q12_priority_by_status(spark, sf_dir):
+    """TPC-H Q12 shape — join + date-range filter + CASE-conditional
+    aggregation (the urgent-vs-low line-count split). The date predicate
+    pushes to the lineitem scan; the conditional sums are map-side
+    partial aggregates, so the shuffle carries O(statuses) rows."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@_q(
+    "q14_promo_revenue",
+    """
+    SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              * CAST(1 - l.l_discount AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS promo_revenue,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-07-01'
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape — fact-dim join + promo-share aggregate, emitted
+    as (numerator, denominator) per the ratio convention. DECIMAL-exact
+    sums keep the hash order-independent; the part side broadcasts
+    (small dim), so the fact table never shuffles."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev)
+                .otherwise(F.lit(0).cast("decimal(18,2)"))
+            ).cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@_q(
+    "text_bigram_lm_counts",
+    """
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT s[i] AS w1, s[i + 1] AS w2
+      FROM (SELECT string_split(text, ' ') AS s FROM documents),
+           UNNEST(range(1, len(s))) AS t(i)
+    )
+    GROUP BY 1, 2
+    HAVING count(*) >= 5
+    """,
+)
+def text_bigram_lm_counts(spark, sf_dir):
+    """Corpus bigram counts (the n-gram LM / co-occurrence table of a
+    text-analysis pass), thresholded to frequent pairs. The token array
+    is materialized in its OWN projection before the pair lambda
+    consumes it (the Catalyst lambda-inlining trap: a raw split()
+    referenced twice per element re-evaluates per reference); the
+    explode feeds one partial-agg shuffle keyed on the pair, so shuffle
+    volume is bounded by distinct bigrams per partition, not corpus
+    positions."""
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.select(F.split(F.col("text"), " ").alias("_t"))
+    t = F.col("_t")
+    n = F.size(t)
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("w1"),
+                F.element_at(t, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.expr(
+        "CAST(array() AS array<struct<w1:string,w2:string>>)"
+    ))
+    return (
+        toked.select(F.explode(pairs).alias("b"))
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+# =========================================================================
 # Registry ordering
 # =========================================================================
 #
@@ -3175,6 +3376,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "q7_nation_volume",
     "q10_returned_items",
     # -- round-5 additions (first driver row needed) --
+    "cdc_churn_by_epoch",
+    "sample_weighted_ppm",
+    "q12_priority_by_status",
+    "q14_promo_revenue",
+    "text_bigram_lm_counts",
 ]
 
 

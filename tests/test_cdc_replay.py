@@ -610,3 +610,48 @@ def test_read_changes_retention_guard(spark, tmp_path):
     # the head snapshot is always readable
     head = table.current_version()
     assert table.read_changes(spark, head).count() == 0
+
+
+def test_point_lookup_prunes_by_bucket_and_key_range(spark, tmp_path):
+    """Single-key read path: point_lookup must return the latest live
+    image while scanning ONLY files admitted by the hash bucket and the
+    manifest's footer key-range stats — the Iceberg lower/upper-bounds
+    skip. Deleted keys return empty; absent keys scan at most the
+    bucket's files."""
+    from pyspark.sql import types as T
+
+    payload = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("val", T.LongType(), True),
+    ])
+    table = LakeTable.create(str(tmp_path / "t"), payload, n_buckets=8)
+
+    def delta(rows, epoch):
+        df = spark.createDataFrame(
+            rows, "doc_id string, val long, _rev long, _deleted boolean"
+        )
+        table.append_delta(df, epoch_id=epoch)
+
+    rows0 = [(f"k{i:03d}", i, i + 1, False) for i in range(40)]
+    delta(rows0, 0)
+    delta([("k007", 777, 100, False), ("k009", None, 101, True)], 1)
+    table.compact(spark)  # bucketed base files with key stats
+    delta([("k007", 778, 102, False)], 2)  # fresh delta on top
+
+    # key stats present on every bucketed file
+    m = table.manifest()
+    assert all("key_min" in f for f in m["files"] if f["rows"]), m["files"]
+
+    got = table.point_lookup(spark, "k007").collect()
+    assert len(got) == 1 and got[0]["val"] == 778 and got[0]["_rev"] == 102
+    assert table.point_lookup(spark, "k009").count() == 0  # deleted
+    assert table.point_lookup(spark, "nope").count() == 0  # absent
+
+    # pruning is real: candidates for one key are a strict subset
+    bucket = int(spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit("k007")), F.lit(8))).first()[0])
+    cand = table._point_lookup_files("k007", bucket)
+    n_files = len([f for f in m["files"] if f["rows"]])
+    assert 0 < len(cand) < n_files, (len(cand), n_files)
+    # every candidate is either k007's bucket or unbucketed
+    assert all(f.get("bucket") in (None, bucket) for f in cand)
