@@ -132,7 +132,15 @@ def run_cdc_replay(spark, scen_dir: str, n_buckets: int,
     payload = T.StructType([f for f in DOCS_SCHEMA.fields if f.name != "_rev"])
     tdir = tempfile.mkdtemp(prefix="cdc_bench_table_", dir=WORK_DIR)
     shutil.rmtree(tdir)
-    table = LakeTable.create(tdir, payload, n_buckets=n_buckets)
+    # assume_unique_rev: the change-log seq is unique by construction and
+    # the ledger makes epoch commits exactly-once, so (key, _rev) pairs
+    # are globally unique — the compaction join may skip its safety dedup
+    # (the Iceberg/Delta MERGE source-uniqueness contract; see
+    # LakeTable._dedup_latest)
+    table = LakeTable.create(
+        tdir, payload, n_buckets=n_buckets,
+        properties={"assume_unique_rev": True},
+    )
     # RMT-style scale path: narrow append per epoch, dedup deferred to
     # compaction (see EpochApplier.pre_reduce docstring); quarantine lazy
     # so validation rides the write as an observed metric.

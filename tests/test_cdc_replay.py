@@ -655,3 +655,112 @@ def test_point_lookup_prunes_by_bucket_and_key_range(spark, tmp_path):
     assert 0 < len(cand) < n_files, (len(cand), n_files)
     # every candidate is either k007's bucket or unbucketed
     assert all(f.get("bucket") in (None, bucket) for f in cand)
+
+
+def test_keys_bound_enables_jobfree_broadcast_compaction(spark, tmp_path,
+                                                         monkeypatch):
+    """The manifest's running keys_bound (per-commit HLL distinct-key
+    estimates observed on the apply write job) must let the auto dedup
+    strategy pick the broadcast join from PURE METADATA when file rows
+    overcount winners — the job-free replacement for the round-4
+    exact-count probe — and full compaction must reset the bound to the
+    exact base row count."""
+    from pyspark.sql import types as T
+
+    from bitcoin_etl_spark.operators import EpochApplier
+    from bitcoin_etl_spark.schemas import CHANGES_SCHEMA
+
+    payload = T.StructType([f for f in CHANGES_SCHEMA.fields
+                            if f.name in ("doc_id", "tokens", "n_tok",
+                                          "source")])
+    table = LakeTable.create(str(tmp_path / "t"), payload, n_buckets=4)
+    applier = EpochApplier(table, pre_reduce=False, quarantine_mode="lazy")
+
+    def epoch_df(e, n_rows, n_keys):
+        rows = [
+            (e * 10_000 + i, f"doc_{i % n_keys}", "U",
+             [1, 2, 3], 3, "synthetic", e)
+            for i in range(n_rows)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "seq long, doc_id string, op string, tokens array<int>, "
+            "n_tok int, source string, epoch long",
+        )
+
+    # 3 epochs x 400 rows over the SAME 50 hot keys: 1200 file rows,
+    # ~150 distinct-key bound
+    for e in range(3):
+        applier.apply_epoch(spark, epoch_df(e, 400, 50), e)
+
+    kb = table.manifest()["keys_bound"]
+    assert kb is not None and 100 <= kb <= 200, kb
+    est_rows = sum(f["rows"] for f in table.manifest()["files"])
+    assert est_rows == 1200
+
+    # limit between the key bound and the row estimate: only the HLL
+    # bound can justify the broadcast join, with no count job
+    monkeypatch.setattr(LakeTable, "_broadcast_winner_limit", 1000)
+    plan = table.read_final(spark, strategy="auto") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan, plan[:2000]
+
+    # full compaction resets the bound to the exact base count
+    table.compact(spark)
+    assert table.manifest()["keys_bound"] == 50
+    # post-compact appends keep accumulating
+    applier.apply_epoch(spark, epoch_df(9, 100, 10), 9)
+    kb2 = table.manifest()["keys_bound"]
+    assert kb2 is not None and 55 <= kb2 <= 70, kb2
+    # and a stats-less raw append poisons the bound to None (unknown)
+    raw = spark.createDataFrame(
+        [("doc_x", [1], 1, "synthetic", 999_999, False)],
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "_rev long, _deleted boolean",
+    )
+    table.append_delta(raw, epoch_id=777)
+    assert table.manifest()["keys_bound"] is None
+
+
+def test_assume_unique_rev_skips_safety_dedup(spark, tmp_path):
+    """The assume_unique_rev table property (writer guarantees globally
+    unique (key, _rev) — true for the engine's own ledgered apply path)
+    must produce the identical final state with a join plan that skips
+    the winner-sized dedup shuffle, and must round-trip through
+    LakeTable.load."""
+    from pyspark.sql import types as T
+
+    payload = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("val", T.LongType(), True),
+    ])
+
+    def build(path, props):
+        t = LakeTable.create(path, payload, n_buckets=4, properties=props)
+        for e in range(3):
+            rows = [(f"k{i}", e * 100 + i, e * 50 + i, False)
+                    for i in range(30)]
+            t.append_delta(spark.createDataFrame(
+                rows, "doc_id string, val long, _rev long, _deleted boolean"
+            ), epoch_id=e)
+        return t
+
+    plain = build(str(tmp_path / "a"), None)
+    fast = build(str(tmp_path / "b"), {"assume_unique_rev": True})
+    assert LakeTable.load(str(tmp_path / "b")).assume_unique_rev is True
+    assert LakeTable.load(str(tmp_path / "a")).assume_unique_rev is False
+
+    exp = {r["doc_id"]: r["val"]
+           for r in plain.read_final(spark, strategy="join").collect()}
+    got = {r["doc_id"]: r["val"]
+           for r in fast.read_final(spark, strategy="join").collect()}
+    assert got == exp and len(got) == 30
+
+    # the skip is visible in the plan: one Aggregate (the narrow winner
+    # agg) instead of two (winner agg + dedup)
+    def n_aggs(t):
+        plan = t.read_final(spark, strategy="join") \
+            ._jdf.queryExecution().optimizedPlan().toString()
+        return plan.count("Aggregate ")
+
+    assert n_aggs(fast) == n_aggs(plain) - 1
