@@ -166,6 +166,26 @@ def cmd_changes(args):
         print(line)
 
 
+def cmd_lookup(args):
+    """Single-key point lookup (bucket + footer key-range pruned)."""
+    spark = _spark(args)
+    rows = _open_table(args).point_lookup(spark, args.key).toJSON().collect()
+    for line in rows:
+        print(line)
+
+
+def cmd_staged(args):
+    """Write-audit-publish control: list / publish / abort staged
+    commits (stage with the library's append_delta(staged=True))."""
+    table = _open_table(args)
+    if args.action == "list":
+        print(json.dumps(table.staged_commits()))
+    elif args.action == "publish":
+        print(json.dumps(table.publish_staged(args.id)))
+    else:
+        print(json.dumps(table.abort_staged(args.id)))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="bitcoin_etl_spark")
     p.add_argument("--cores", type=int, default=None)
@@ -223,6 +243,17 @@ def main(argv=None):
     ch.add_argument("--no-classify", action="store_true",
                     help="single-scan UPSERT/DELETE feed (skip I/U split)")
 
+    lk = sub.add_parser("lookup", help="point lookup for one key")
+    table_args(lk, with_changes=False)
+    lk.add_argument("--key", required=True)
+
+    st = sub.add_parser("staged",
+                        help="write-audit-publish staged commits")
+    table_args(st, with_changes=False)
+    st.add_argument("action", choices=["list", "publish", "abort"])
+    st.add_argument("--id", default=None,
+                    help="staging id (publish/abort)")
+
     args = p.parse_args(argv)
     {
         "generate": cmd_generate,
@@ -233,6 +264,8 @@ def main(argv=None):
         "lineage": cmd_lineage,
         "snapshots": cmd_snapshots,
         "changes": cmd_changes,
+        "lookup": cmd_lookup,
+        "staged": cmd_staged,
     }[args.cmd](args)
 
 

@@ -897,6 +897,7 @@ class LakeTable:
         epoch_id: int | None = None,
         stats: dict | None = None,
         stats_cb=None,
+        staged: bool = False,
     ) -> dict:
         """Append an upsert/tombstone delta commit (the RMT part insert).
 
@@ -904,7 +905,15 @@ class LakeTable:
         ``epoch_id`` is given and already in the ledger, the commit is
         SKIPPED (exactly-once over at-least-once delivery). Ledger row and
         data files land in one atomic manifest publish.
-        """
+
+        ``staged=True`` is the write half of write-audit-publish (the
+        Iceberg WAP / branch-commit pattern): data files are written and
+        the would-be manifest is saved UNSTAGED (``staged-<id>.json``,
+        not linked into the version chain — invisible to every reader).
+        Audit the staged state with ``read_staged``, then
+        ``publish_staged`` (atomic, conflict-checked against commits
+        that landed meanwhile) or ``abort_staged`` (removes the staged
+        files). Returns ``{"staged": True, "staging_id": ...}``."""
         t0 = time.time()
         if epoch_id is not None and epoch_id in self.committed_epochs(pipeline_id):
             return {"skipped": True, "epoch": epoch_id}
@@ -966,6 +975,22 @@ class LakeTable:
                 "duration_ms": (time.time() - t0) * 1000.0,
                 **extra,
             }
+        if staged:
+            sid = uuid.uuid4().hex[:12]
+            spath = os.path.join(self._manifest_dir, f"staged-{sid}.json")
+            with open(spath, "w") as f:
+                json.dump(
+                    {
+                        "manifest": nm,
+                        "added": [e["path"] for e in entries],
+                        "data_sub": sub,
+                        "staged_at": time.time(),
+                    },
+                    f,
+                )
+            return {"skipped": False, "staged": True, "staging_id": sid,
+                    "epoch": epoch_id, "rows": rows,
+                    "parent_version": nm["parent"]}
         try:
             self._publish(nm)
         except CommitConflict:
@@ -974,6 +999,75 @@ class LakeTable:
             raise
         return {"skipped": False, "epoch": epoch_id, "rows": rows,
                 "version": nm["version"]}
+
+    # -------------------------------------------------- write-audit-publish
+    def _staged_path(self, staging_id: str) -> str:
+        return os.path.join(self._manifest_dir, f"staged-{staging_id}.json")
+
+    def _load_staged(self, staging_id: str) -> dict:
+        p = self._staged_path(staging_id)
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"no staged commit {staging_id} at {self.path} (already "
+                f"published or aborted?)"
+            )
+        with open(p) as f:
+            return json.load(f)
+
+    def read_staged(self, spark: SparkSession, staging_id: str,
+                    strategy: str = "auto") -> DataFrame:
+        """The table state AS IF the staged commit were published — the
+        audit surface of write-audit-publish. Runs the normal final-state
+        dedup over the staged manifest's file set; no committed reader
+        can see any of it."""
+        st = self._load_staged(staging_id)
+        nm = st["manifest"]
+        schema = schema_from_json(json.dumps(nm["schema"]))
+        return self._dedup_final(
+            spark, nm["files"], schema, strategy, nm.get("keys_bound")
+        )
+
+    def publish_staged(self, staging_id: str) -> dict:
+        """Atomically link a staged commit into the version chain.
+
+        Conflict rule (strict, like Iceberg's fast-forward): the staged
+        manifest's parent must still be the table head — a commit that
+        landed after staging raises ``CommitConflict`` (re-stage on the
+        new head; data files are immutable so re-staging re-plans only
+        metadata). The ledger row staged with the commit publishes with
+        it, so exactly-once still holds end-to-end."""
+        st = self._load_staged(staging_id)
+        nm = st["manifest"]
+        head = self.current_version()
+        if nm["parent"] != head:
+            raise CommitConflict(
+                f"staged commit {staging_id} has parent v{nm['parent']} "
+                f"but the table head is v{head}: a commit landed after "
+                f"staging. Abort and re-stage on the current head."
+            )
+        self._publish(nm)
+        os.unlink(self._staged_path(staging_id))
+        return {"published": True, "version": nm["version"],
+                "staging_id": staging_id}
+
+    def abort_staged(self, staging_id: str) -> dict:
+        """Drop a staged commit: its data files (referenced by no
+        committed manifest) and its staged metadata."""
+        st = self._load_staged(staging_id)
+        shutil.rmtree(
+            os.path.join(self._data_dir, st["data_sub"]), ignore_errors=True
+        )
+        os.unlink(self._staged_path(staging_id))
+        return {"aborted": True, "staging_id": staging_id,
+                "removed_files": len(st["added"])}
+
+    def staged_commits(self) -> list[str]:
+        """Ids of pending staged commits (audit queue)."""
+        return sorted(
+            f[len("staged-"):-len(".json")]
+            for f in os.listdir(self._manifest_dir)
+            if f.startswith("staged-") and f.endswith(".json")
+        )
 
     def compact_deltas(self, spark: SparkSession) -> dict:
         """MINOR compaction: fold the UNBUCKETED delta files (narrow
@@ -1103,6 +1197,11 @@ class LakeTable:
         for v in range(max(0, cur - keep_versions + 1), cur + 1):
             if os.path.exists(os.path.join(self._manifest_dir, f"v{v}.json")):
                 keep.update(f["path"] for f in self.manifest(v)["files"])
+        # pending staged (write-audit-publish) commits reference files no
+        # committed manifest does yet — they are not garbage
+        for sid in self.staged_commits():
+            staged = self._load_staged(sid)
+            keep.update(f["path"] for f in staged["manifest"]["files"])
         removed = 0
         for root, _dirs, names in os.walk(self._data_dir):
             for name in names:

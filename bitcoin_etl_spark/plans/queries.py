@@ -3323,6 +3323,41 @@ def text_bigram_lm_counts(spark, sf_dir):
     )
 
 
+@_q(
+    "events_hopping_window",
+    """
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type
+      FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts)
+               - INTERVAL '30 minutes' AS ws, event_type
+      FROM events
+    )
+    GROUP BY 1, 2
+    """,
+)
+def events_hopping_window(spark, sf_dir):
+    """T-class sliding/hopping event-time window (1 h width, 30 min
+    slide): every event lands in exactly two grid-aligned windows —
+    Spark's native ``window(slideDuration=...)``, whose oracle is the
+    union of the two shifted tumbling grids. One partial-agg shuffle of
+    O(windows × types); the 2× row expansion happens map-side inside
+    the window generator, never materialized."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "event_type", "cnt",
+        )
+    )
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -3381,6 +3416,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q12_priority_by_status",
     "q14_promo_revenue",
     "text_bigram_lm_counts",
+    "events_hopping_window",
 ]
 
 

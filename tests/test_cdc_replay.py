@@ -764,3 +764,74 @@ def test_assume_unique_rev_skips_safety_dedup(spark, tmp_path):
         return plan.count("Aggregate ")
 
     assert n_aggs(fast) == n_aggs(plain) - 1
+
+
+def test_write_audit_publish_staged_commits(spark, tmp_path):
+    """Write-audit-publish (Iceberg WAP / branch-commit pattern): a
+    staged append is invisible to every committed reader until
+    publish_staged; read_staged exposes the would-be state for audits;
+    abort removes the staged files; publish is conflict-checked against
+    commits that landed after staging; vacuum never collects pending
+    staged files."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from bitcoin_etl_spark.lake.table import CommitConflict
+
+    payload = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("val", T.LongType(), True),
+    ])
+    table = LakeTable.create(str(tmp_path / "t"), payload, n_buckets=4)
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            rows, "doc_id string, val long, _rev long, _deleted boolean"
+        )
+
+    table.append_delta(df_of([("a", 1, 1, False), ("b", 2, 2, False)]),
+                       epoch_id=0)
+    v0 = table.current_version()
+
+    # stage a batch that fails audit (negative value = bad)
+    res = table.append_delta(df_of([("c", -99, 3, False)]),
+                             epoch_id=1, staged=True)
+    assert res["staged"] and res["parent_version"] == v0
+    sid_bad = res["staging_id"]
+    # invisible to committed readers; visible to the audit surface
+    assert table.current_version() == v0
+    assert table.read_final(spark).count() == 2
+    staged_state = {r["doc_id"]: r["val"]
+                    for r in table.read_staged(spark, sid_bad).collect()}
+    assert staged_state == {"a": 1, "b": 2, "c": -99}
+    # audit fails -> abort; files gone, nothing committed, epoch NOT in
+    # the ledger (it can be retried)
+    bad_rows = table.read_staged(spark, sid_bad).filter("val < 0").count()
+    assert bad_rows == 1
+    table.abort_staged(sid_bad)
+    assert table.staged_commits() == []
+    assert 1 not in table.committed_epochs("default")
+    assert table.read_final(spark).count() == 2
+
+    # stage a good batch; vacuum while pending must keep its files
+    res = table.append_delta(df_of([("c", 30, 4, False)]),
+                             epoch_id=1, staged=True)
+    sid_good = res["staging_id"]
+    table.vacuum(keep_versions=1)
+    out = table.publish_staged(sid_good)
+    assert out["version"] == v0 + 1
+    assert {r["doc_id"]: r["val"] for r in table.read_final(spark).collect()} \
+        == {"a": 1, "b": 2, "c": 30}
+    assert 1 in table.committed_epochs("default")
+    # the published ledger row makes a replay idempotent
+    assert table.append_delta(df_of([("c", 30, 4, False)]),
+                              epoch_id=1)["skipped"] is True
+
+    # conflict: a commit lands between stage and publish
+    res = table.append_delta(df_of([("d", 5, 5, False)]),
+                             epoch_id=2, staged=True)
+    table.append_delta(df_of([("e", 6, 6, False)]), epoch_id=3)
+    with pytest.raises(CommitConflict, match="re-stage"):
+        table.publish_staged(res["staging_id"])
+    table.abort_staged(res["staging_id"])
+    assert table.staged_commits() == []

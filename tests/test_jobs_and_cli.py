@@ -142,3 +142,56 @@ def test_cli_changes_feed(tmp_path):
         ).fetchall()
     }
     assert {r["doc_id"] for r in feed} <= touched
+
+
+def test_cli_lookup_and_staged(tmp_path, spark):
+    """CLI surfaces for the round-5 lake features: `lookup` returns the
+    key's latest image as JSON; `staged list` shows pending
+    write-audit-publish commits (stage/publish exercised via the
+    library, the CLI drives list/abort)."""
+    scen = str(tmp_path / "scen")
+    table = str(tmp_path / "table")
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "bitcoin_etl_spark", "--cores", "4", *argv],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return r.stdout
+
+    run("generate", "--out", scen, "--events", "1000", "--epochs", "2",
+        "--keys", "100")
+    run("replay", "--table", table, "--changes", f"{scen}/changes",
+        "--create")
+
+    import duckdb
+
+    key = duckdb.sql(
+        f"SELECT doc_id FROM '{scen}/expected_docs.parquet' LIMIT 1"
+    ).fetchone()[0]
+    out = run("lookup", "--table", table, "--key", key)
+    rows = [json.loads(l) for l in out.splitlines() if l.startswith("{")]
+    assert len(rows) == 1 and rows[0]["doc_id"] == key
+
+    # stage via the library, drive list/abort via the CLI
+    from bitcoin_etl_spark.lake import LakeTable
+
+    t = LakeTable.load(table)
+    df = spark.createDataFrame(
+        [("zzz", 10**9, False)],
+        "doc_id string, _rev long, _deleted boolean",
+    )
+    res = t.append_delta(df, staged=True)
+    sid = res["staging_id"]
+    listed = json.loads(
+        [l for l in run("staged", "--table", table, "list").splitlines()
+         if l.startswith("[")][-1]
+    )
+    assert listed == [sid]
+    run("staged", "--table", table, "abort", "--id", sid)
+    listed = json.loads(
+        [l for l in run("staged", "--table", table, "list").splitlines()
+         if l.startswith("[")][-1]
+    )
+    assert listed == []
