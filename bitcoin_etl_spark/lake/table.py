@@ -491,8 +491,9 @@ class LakeTable:
         typically 1-2 files, each further row-group-pruned by parquet's
         own key statistics under the pushed ``key = value`` filter.
         Returns an empty frame if the key is absent or deleted."""
+        nb = self.manifest(version).get("n_buckets", self.n_buckets)
         bucket_row = spark.range(1).select(
-            F.pmod(F.xxhash64(F.lit(value)), F.lit(self.n_buckets))
+            F.pmod(F.xxhash64(F.lit(value)), F.lit(nb))
         ).first()
         cand = self._point_lookup_files(value, int(bucket_row[0]), version)
         schema = self.schema(version)
@@ -1103,7 +1104,8 @@ class LakeTable:
 
     def compact(self, spark: SparkSession,
                 buckets: set[int] | None = None,
-                min_retained_rev: int | None = None) -> dict:
+                min_retained_rev: int | None = None,
+                new_n_buckets: int | None = None) -> dict:
         """Fold deltas into unique-per-key, hash-bucketed base files —
         the ``OPTIMIZE TABLE … FINAL`` analog. Old files are dropped
         from the manifest (garbage-collectable); ledger is preserved.
@@ -1126,7 +1128,19 @@ class LakeTable:
         files are read and rewritten — the incremental form a 100 TB
         table needs (never a full rewrite; each bucket compacts on its
         own schedule). Unbucketed deltas are folded first
-        (``compact_deltas``) so the subset's rows are self-contained."""
+        (``compact_deltas``) so the subset's rows are self-contained.
+
+        ``new_n_buckets`` evolves the bucket count (grow when per-bucket
+        size outruns executor memory) — a FULL rewrite by definition
+        (every row re-hashes), so it requires ``buckets=None``. Older
+        snapshots keep their own ``n_buckets`` in their manifests; the
+        version-aware readers (``point_lookup``) use the manifest's
+        value, never the live attribute."""
+        if new_n_buckets is not None and buckets is not None:
+            raise ValueError(
+                "bucket-count evolution re-hashes every row: it requires "
+                "a full compaction (buckets=None)"
+            )
         if buckets is not None:
             self.compact_deltas(spark)
         m = self.manifest()
@@ -1137,8 +1151,12 @@ class LakeTable:
         if not target:
             return {"compacted": False, "reason": "no-files"}
         if (all(f.get("kind") == "base" for f in target)
-                and min_retained_rev is None):
+                and min_retained_rev is None
+                and (new_n_buckets is None
+                     or new_n_buckets == self.n_buckets)):
             return {"compacted": False, "reason": "already-base"}
+        if new_n_buckets is not None:
+            self.n_buckets = new_n_buckets
         schema = self.schema()
         # job-free auto dedup (broadcast join while the manifest row
         # bound fits the budget, single-exchange window beyond) +
@@ -1171,6 +1189,7 @@ class LakeTable:
         nm = self._next_manifest(
             "compact" if buckets is None else "compact-buckets"
         )
+        nm["n_buckets"] = self.n_buckets
         drop = {f["path"] for f in target}
         kept = [f for f in nm["files"] if f["path"] not in drop]
         nm["files"] = kept + entries if buckets is not None else entries

@@ -234,3 +234,72 @@ def embedding_near_dup_pairs(df: DataFrame, dim: int,
         .filter(F.col("cos") >= min_cosine)
         .select("id_a", "id_b", "cos")
     )
+
+
+def pq_centroids(dim: int, m: int = 4, k: int = 4,
+                 seed: int = 0) -> list[list[list[float]]]:
+    """Deterministic PQ codebook: ``m`` subspaces × ``k`` centroids of
+    ``dim//m`` components each, one-decimal values in [-0.9, 0.9]
+    derived from md5 bits — exactly representable as the SAME double in
+    any engine that parses the literal, so the full quantizer is
+    reproducible in a SQL oracle (a trained k-means codebook drops in
+    with no code change; see ann_kmeans_step for the training step)."""
+    sub = dim // m
+    books = []
+    for j in range(m):
+        cents = []
+        for c in range(k):
+            vals = []
+            ctr = 0
+            while len(vals) < sub:
+                h = hashlib.md5(f"pq:{seed}:{j}:{c}:{ctr}".encode()).digest()
+                for byte in h:
+                    vals.append(((byte % 19) - 9) / 10.0)
+                ctr += 1
+            cents.append(vals[:sub])
+        books.append(cents)
+    return books
+
+
+def pq_encode(df: DataFrame, vec_col: str = "embedding",
+              id_col: str = "vec_id", dim: int = 64, m: int = 4,
+              k: int = 4, seed: int = 0,
+              keep: tuple[str, ...] = ()) -> DataFrame:
+    """Product-quantization encode: split each vector into ``m``
+    subvectors and replace each with the id of its nearest codebook
+    centroid (squared L2, first-minimum tie-break) — the memory-scale
+    path for billion-vector ANN (codes are m bytes instead of dim
+    floats; IVF-PQ = ivf_assign coarse cells + these codes).
+
+    Plan shape: pure Column arithmetic over the scan — the per-subspace
+    distances are explicit left-associated term chains (identical
+    evaluation order to the generated SQL oracle, so the doubles are
+    bit-reproducible), argmin is a CASE cascade; no UDF, no shuffle, no
+    join. O(dim × k) flops per row, all inside whole-stage codegen."""
+    books = pq_centroids(dim, m, k, seed)
+    sub = dim // m
+    v = _dbl(F.col(vec_col))
+    out_cols = [F.col(id_col)] + [F.col(c) for c in keep]
+    for j, cents in enumerate(books):
+        dists = []
+        for cvals in cents:
+            terms = None
+            for i, cv in enumerate(cvals):
+                e = F.element_at(v, j * sub + i + 1) - F.lit(cv)
+                t = e * e
+                terms = t if terms is None else terms + t
+            dists.append(terms)
+        code = None
+        cases = []
+        for c in range(k - 1):
+            cond = None
+            for o in range(c + 1, k):
+                le = dists[c] <= dists[o]
+                cond = le if cond is None else cond & le
+            cases.append((cond, c))
+        code = F.when(cases[0][0], F.lit(0))
+        for cond, c in cases[1:]:
+            code = code.when(cond, F.lit(c))
+        code = code.otherwise(F.lit(k - 1))
+        out_cols.append(code.cast("int").alias(f"code_{j}"))
+    return df.select(*out_cols)

@@ -3358,6 +3358,67 @@ def events_hopping_window(spark, sf_dir):
     )
 
 
+def _pq_sql(dim: int = 64, m: int = 4, k: int = 4, seed: int = 0) -> str:
+    """Generated oracle for ann_pq_codes: the SAME codebook literals and
+    the SAME left-associated squared-distance chains as pq_encode, so
+    every double is bit-identical and the integer codes match exactly."""
+    from ..ops.similarity import pq_centroids
+
+    books = pq_centroids(dim, m, k, seed)
+    sub = dim // m
+    code_exprs = []
+    for j, cents in enumerate(books):
+        dists = []
+        for cvals in cents:
+            terms = " + ".join(
+                f"((embedding[{j * sub + i + 1}]::DOUBLE - ({cv:.1f})) * "
+                f"(embedding[{j * sub + i + 1}]::DOUBLE - ({cv:.1f})))"
+                for i, cv in enumerate(cvals)
+            )
+            dists.append(f"({terms})")
+        whens = []
+        for c in range(k - 1):
+            cond = " AND ".join(
+                f"{dists[c]} <= {dists[o]}" for o in range(c + 1, k)
+            )
+            whens.append(f"WHEN {cond} THEN {c}")
+        code_exprs.append(
+            f"(CASE {' '.join(whens)} ELSE {k - 1} END) AS code_{j}"
+        )
+    inner = ", ".join(code_exprs)
+    groups = ", ".join(f"code_{j}" for j in range(m))
+    return f"""
+    SELECT {groups}, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(count(DISTINCT label) AS BIGINT) AS n_labels
+    FROM (SELECT {inner}, label FROM embeddings)
+    GROUP BY {groups}
+    """
+
+
+@_q("ann_pq_codes", None)
+def ann_pq_codes(spark, sf_dir):
+    """Product-quantization encode + code-cell census — the
+    billion-vector memory-scale path (m one-byte codes replace dim
+    floats; IVF-PQ = ivf_assign coarse cells over these codes). The
+    encode is pure whole-stage-codegen Column arithmetic (explicit
+    distance chains, CASE-cascade argmin — no UDF, no shuffle before
+    the final cell aggregation); the oracle is generated SQL carrying
+    the identical codebook literals and evaluation order."""
+    from ..ops.similarity import pq_encode
+
+    e = load(spark, sf_dir, "embeddings")
+    codes = pq_encode(e, "embedding", "vec_id", dim=64, m=4, k=4, seed=0,
+                      keep=("label",))
+    groups = [f"code_{j}" for j in range(4)]
+    return codes.groupBy(*groups).agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.countDistinct("label").cast("long").alias("n_labels"),
+    )
+
+
+ORACLES["ann_pq_codes"] = _pq_sql()
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -3417,6 +3478,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q14_promo_revenue",
     "text_bigram_lm_counts",
     "events_hopping_window",
+    "ann_pq_codes",
 ]
 
 

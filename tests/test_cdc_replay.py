@@ -835,3 +835,45 @@ def test_write_audit_publish_staged_commits(spark, tmp_path):
         table.publish_staged(res["staging_id"])
     table.abort_staged(res["staging_id"])
     assert table.staged_commits() == []
+
+
+def test_bucket_count_evolution(spark, tmp_path):
+    """compact(new_n_buckets=...) re-hashes the table into a new bucket
+    count (full rewrite), records it in the manifest, and point_lookup
+    keeps working against both the new head and (version-aware) the old
+    snapshot; a subset compaction with a resize is refused."""
+    import pytest
+    from pyspark.sql import types as T
+
+    payload = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("val", T.LongType(), True),
+    ])
+    table = LakeTable.create(str(tmp_path / "t"), payload, n_buckets=4)
+    rows = [(f"k{i}", i, i + 1, False) for i in range(60)]
+    table.append_delta(spark.createDataFrame(
+        rows, "doc_id string, val long, _rev long, _deleted boolean"
+    ), epoch_id=0)
+    table.compact(spark)
+    v_old = table.current_version()
+    assert table.manifest()["n_buckets"] == 4
+
+    with pytest.raises(ValueError, match="full compaction"):
+        table.compact(spark, buckets={0}, new_n_buckets=16)
+
+    res = table.compact(spark, new_n_buckets=16)
+    assert res["compacted"]
+    assert table.manifest()["n_buckets"] == 16
+    assert table.n_buckets == 16
+    buckets = {f["bucket"] for f in table.manifest()["files"]}
+    assert len(buckets) > 4  # rows actually spread over the new count
+
+    # state identical; point_lookup works on the new layout AND the old
+    # snapshot (old manifest keeps n_buckets=4)
+    assert table.read_final(spark).count() == 60
+    got = table.point_lookup(spark, "k37").collect()
+    assert len(got) == 1 and got[0]["val"] == 37
+    old = table.point_lookup(spark, "k37", version=v_old).collect()
+    assert len(old) == 1 and old[0]["val"] == 37
+    # loading fresh picks up the evolved count
+    assert LakeTable.load(str(tmp_path / "t")).n_buckets == 16
