@@ -88,3 +88,74 @@ class ChangeFeedTailer:
             entry = {"from_version": last, "to_version": to_v}
             self.batch_log.append(entry)
             out.append(entry)
+
+
+class TableMirror:
+    """Incrementally-maintained derived table: applies the upstream
+    change feed into a DOWNSTREAM LakeTable — the materialized-view /
+    replica-maintenance pattern built from the two exactly-once layers
+    the engine already has (feed ranges are deterministic and
+    re-deliverable; the downstream ledger keyed on the range's
+    ``to_version`` makes re-application a no-op).
+
+    Row-level derivations only: ``where`` (SQL predicate over payload
+    columns) and ``select`` (payload projection; the key and ``_rev``
+    are always carried). An upstream row that stops satisfying
+    ``where`` becomes a downstream DELETE — correct incremental view
+    maintenance for filters, because the feed delivers the full
+    after-image of every changed key. Aggregated views need different
+    machinery (re-aggregation or retraction streams) and are out of
+    scope here.
+
+    Scale shape: each increment is one read_changes scan (file-skipped
+    to new data) + one narrow append into the downstream table — no
+    state besides the two tables' own metadata; a 10^10-row upstream
+    costs the mirror only its churn."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        upstream: LakeTable,
+        downstream: LakeTable,
+        cursor_path: str,
+        where: str | None = None,
+        select: list[str] | None = None,
+        from_beginning: bool = True,
+        max_versions_per_batch: int | None = None,
+    ):
+        from pyspark.sql import functions as F
+
+        self._F = F
+        self.upstream = upstream
+        self.downstream = downstream
+        self.where = where
+        self.select = select
+        if from_beginning and not os.path.exists(cursor_path):
+            with open(cursor_path, "w") as f:
+                json.dump({"last_version": 0}, f)
+        self.tailer = ChangeFeedTailer(
+            spark, upstream, self._sink, cursor_path, classify=False,
+            max_versions_per_batch=max_versions_per_batch,
+        )
+
+    def _sink(self, feed: DataFrame, from_v: int, to_v: int) -> None:
+        from ..lake.table import DELETED_COL, REV_COL
+
+        F = self._F
+        deleted = F.col("_change_type") == "DELETE"
+        if self.where is not None:
+            # a changed row that no longer passes the predicate must be
+            # deleted downstream (NULL predicate counts as not passing)
+            deleted = F.when(deleted, F.lit(True)).otherwise(
+                ~F.coalesce(F.expr(self.where), F.lit(False))
+            )
+        rows = feed.withColumn(DELETED_COL, deleted).drop("_change_type")
+        if self.select is not None:
+            keep = [self.upstream.key, *self.select, REV_COL, DELETED_COL]
+            rows = rows.select(*dict.fromkeys(keep))
+        self.downstream.append_delta(
+            rows, pipeline_id="mirror", epoch_id=to_v
+        )
+
+    def run_available(self) -> list[dict]:
+        return self.tailer.run_available()
