@@ -553,6 +553,15 @@ class LakeTable:
                 out.coalesce(min(cap, self.n_buckets)) if not shuffle
                 else out.repartition(min(cap, self.n_buckets), BUCKET_COL)
             )
+            # near-free key clustering: the dynamic-partition writer
+            # sorts each task's rows by the partition column anyway (to
+            # keep one open file per dir); extending that sort with the
+            # merge key makes every data file key-sorted, so parquet's
+            # per-row-group key min/max become tight and point lookups
+            # prune ROW GROUPS inside the (bucket, key-range)-admitted
+            # files — the ORDER BY clustering Iceberg's
+            # rewrite_data_files sort strategy provides.
+            out = out.sortWithinPartitions(BUCKET_COL, self.key)
             (
                 out.write.partitionBy(BUCKET_COL)
                 .mode("errorifexists")

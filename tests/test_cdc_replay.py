@@ -877,3 +877,36 @@ def test_bucket_count_evolution(spark, tmp_path):
     assert len(old) == 1 and old[0]["val"] == 37
     # loading fresh picks up the evolved count
     assert LakeTable.load(str(tmp_path / "t")).n_buckets == 16
+
+
+def test_bucketed_files_are_key_sorted(spark, tmp_path):
+    """Bucketed data files must come out key-sorted (the near-free
+    clustering rider on the dynamic-partition writer's sort), so
+    parquet row-group key stats are tight for point-lookup pruning."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    payload = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("val", T.LongType(), True),
+    ])
+    table = LakeTable.create(str(tmp_path / "t"), payload, n_buckets=4)
+    rows = [(f"k{i:04d}", i, i + 1, False) for i in range(500)]
+    import random
+
+    random.Random(3).shuffle(rows)
+    table.append_delta(spark.createDataFrame(
+        rows, "doc_id string, val long, _rev long, _deleted boolean"
+    ), epoch_id=0)
+    table.compact(spark)
+    m = table.manifest()
+    checked = 0
+    for f in m["files"]:
+        if not f["rows"]:
+            continue
+        col = pq.read_table(
+            f"{table.path}/{f['path']}", columns=["doc_id"]
+        )["doc_id"].to_pylist()
+        assert col == sorted(col), f["path"]
+        checked += 1
+    assert checked >= 4
