@@ -104,7 +104,20 @@ def cmd_tail(args):
 
 def cmd_compact(args):
     spark = _spark(args)
-    print(json.dumps(_open_table(args).compact(spark)))
+    table = _open_table(args)
+    if getattr(args, "auto", False):
+        # manifest-stats scheduling: minor L0 fold if due, then only the
+        # buckets whose merge-on-read debt crossed the thresholds
+        plan = table.plan_compaction()
+        out = {"plan": {**plan, "buckets": sorted(plan["buckets"])}}
+        if plan["minor"]:
+            out["minor"] = table.compact_deltas(spark)
+            plan = table.plan_compaction()
+        if plan["buckets"]:
+            out["major"] = table.compact(spark, buckets=plan["buckets"])
+        print(json.dumps(out))
+        return
+    print(json.dumps(table.compact(spark)))
 
 
 def cmd_repair(args):
@@ -227,6 +240,11 @@ def main(argv=None):
     for name in ("compact", "lineage", "snapshots"):
         sp = sub.add_parser(name)
         table_args(sp, with_changes=False)
+        if name == "compact":
+            sp.add_argument("--auto", action="store_true",
+                            help="schedule from manifest stats "
+                                 "(plan_compaction) instead of a full "
+                                 "rewrite")
 
     rp = sub.add_parser("repair")
     table_args(rp, with_changes=False)

@@ -1217,6 +1217,57 @@ class LakeTable:
             "replaced_files": len(drop),
         }
 
+    def plan_compaction(
+        self,
+        max_delta_rows_per_bucket: int = 1_000_000,
+        max_delta_files_per_bucket: int = 8,
+        max_unbucketed_files: int = 32,
+    ) -> dict:
+        """Maintenance scheduling from MANIFEST STATS ONLY (no job, no
+        scan): which buckets' merge-on-read debt exceeds the thresholds,
+        and whether the unbucketed L0 (raw epoch appends) needs a minor
+        fold first. The per-bucket cadence a 10^10-row table runs on —
+        call on a timer, feed ``buckets`` into ``compact``:
+
+            plan = table.plan_compaction()
+            if plan["minor"]:
+                table.compact_deltas(spark)
+            if plan["buckets"]:
+                table.compact(spark, buckets=plan["buckets"])
+
+        Unbucketed delta rows are counted against EVERY bucket's debt
+        (their rows may land anywhere), which is why the minor fold runs
+        first — it converts L0 debt into per-bucket debt that this
+        planner can then localize."""
+        m = self.manifest()
+        unb_files = [f for f in m["files"] if f.get("bucket") is None]
+        unb_rows = sum(f["rows"] or 0 for f in unb_files)
+        rows: dict[int, int] = {}
+        nfiles: dict[int, int] = {}
+        for f in m["files"]:
+            b = f.get("bucket")
+            if b is None or f.get("kind") == "base":
+                continue
+            rows[b] = rows.get(b, 0) + (f["rows"] or 0)
+            nfiles[b] = nfiles.get(b, 0) + 1
+        due = {
+            b for b in set(rows) | set(nfiles)
+            if rows.get(b, 0) + unb_rows > max_delta_rows_per_bucket
+            or nfiles.get(b, 0) > max_delta_files_per_bucket
+        }
+        minor = (
+            len(unb_files) > max_unbucketed_files
+            or unb_rows > max_delta_rows_per_bucket
+            or (bool(unb_files) and bool(due))
+        )
+        return {
+            "minor": minor,
+            "buckets": due,
+            "unbucketed_files": len(unb_files),
+            "unbucketed_rows": unb_rows,
+            "delta_rows_by_bucket": rows,
+        }
+
     def vacuum(self, keep_versions: int = 2) -> int:
         """Delete data files unreferenced by the last ``keep_versions``
         manifests (snapshot-expiry analog). Returns #files removed."""

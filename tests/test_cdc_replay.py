@@ -910,3 +910,55 @@ def test_bucketed_files_are_key_sorted(spark, tmp_path):
         assert col == sorted(col), f["path"]
         checked += 1
     assert checked >= 4
+
+
+def test_plan_compaction_schedules_due_buckets(spark, tmp_path):
+    """plan_compaction decides maintenance from manifest stats only: an
+    all-base table owes nothing; raw epoch appends surface as L0 debt
+    (minor fold first); after the fold, only buckets whose delta debt
+    crosses the thresholds are scheduled, and running the suggested
+    plan clears the debt."""
+    from pyspark.sql import types as T
+
+    payload = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("val", T.LongType(), True),
+    ])
+    table = LakeTable.create(str(tmp_path / "t"), payload, n_buckets=4)
+
+    def delta(rows, epoch):
+        df = spark.createDataFrame(
+            rows, "doc_id string, val long, _rev long, _deleted boolean"
+        )
+        table.append_delta(df, epoch_id=epoch)
+
+    delta([(f"k{i}", i, i + 1, False) for i in range(80)], 0)
+    table.compact(spark)
+    assert table.plan_compaction() == {
+        "minor": False, "buckets": set(), "unbucketed_files": 0,
+        "unbucketed_rows": 0, "delta_rows_by_bucket": {},
+    }
+
+    # two raw epoch appends: L0 debt counted against every bucket
+    delta([(f"k{i}", 100 + i, 200 + i, False) for i in range(30)], 1)
+    delta([(f"k{i}", 200 + i, 300 + i, False) for i in range(30, 60)], 2)
+    plan = table.plan_compaction(max_delta_rows_per_bucket=10)
+    assert plan["minor"] and plan["unbucketed_rows"] == 60
+
+    table.compact_deltas(spark)
+    plan = table.plan_compaction(max_delta_rows_per_bucket=10)
+    assert not plan["minor"]
+    assert plan["buckets"], "folded delta debt must localize to buckets"
+    assert plan["buckets"] <= {0, 1, 2, 3}
+    # generous threshold: nothing due
+    assert table.plan_compaction(
+        max_delta_rows_per_bucket=10_000,
+        max_delta_files_per_bucket=100,
+    )["buckets"] == set()
+
+    # run the suggested subset compaction; debt clears, state correct
+    table.compact(spark, buckets=plan["buckets"])
+    after = table.plan_compaction(max_delta_rows_per_bucket=10)
+    assert after["buckets"] == set() and not after["minor"]
+    got = {r["doc_id"]: r["val"] for r in table.read_final(spark).collect()}
+    assert len(got) == 80 and got["k0"] == 100 and got["k59"] == 259
