@@ -517,6 +517,40 @@ class LakeTable:
         )
         return agg.select(self.key, "_latest.*")
 
+    def scan_keys(self, spark: SparkSession, values: list,
+                  version: int | None = None) -> DataFrame:
+        """Latest live images for a SMALL key list (batch point lookup):
+        union of the keys' bucket+key-range-admitted files scanned ONCE
+        with an IN filter (pushed to parquet), then the tiny max_by
+        dedup. Scan cost ∝ files admitted for the requested keys, not
+        the table; for corpus-sized key sets use a broadcast/semi join
+        against ``read_final`` instead — this path computes one bucket
+        hash per requested key on the driver."""
+        if not values:
+            raise ValueError("scan_keys needs at least one key")
+        nb = self.manifest(version).get("n_buckets", self.n_buckets)
+        brows = spark.createDataFrame(
+            [(v,) for v in values], f"{self.key} string"
+        ).select(
+            self.key,
+            F.pmod(F.xxhash64(F.col(self.key)), F.lit(nb)).alias("b"),
+        ).collect()
+        cand_paths: dict[str, dict] = {}
+        for r in brows:
+            for f in self._point_lookup_files(r[self.key], int(r["b"]),
+                                              version):
+                cand_paths[f["path"]] = f
+        schema = self.schema(version)
+        if not cand_paths:
+            return spark.createDataFrame([], schema).filter(
+                ~F.col(DELETED_COL)
+            ).drop(DELETED_COL)
+        df = self._read_files(
+            spark, list(cand_paths.values()), schema
+        ).filter(F.col(self.key).isin(*values))
+        latest = self._dedup_latest_frame(df, schema)
+        return latest.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
+
     # ---------------------------------------------------------------- writes
     def _bucket_expr(self):
         return F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets))

@@ -962,3 +962,35 @@ def test_plan_compaction_schedules_due_buckets(spark, tmp_path):
     assert after["buckets"] == set() and not after["minor"]
     got = {r["doc_id"]: r["val"] for r in table.read_final(spark).collect()}
     assert len(got) == 80 and got["k0"] == 100 and got["k59"] == 259
+
+
+def test_scan_keys_batch_point_lookup(spark, tmp_path):
+    """scan_keys returns the latest live images for a key list in one
+    pruned scan: updated keys at their newest value, deleted and absent
+    keys omitted, and the candidate file set is the union of the keys'
+    bucket-admitted files (a strict subset of the table)."""
+    from pyspark.sql import types as T
+
+    payload = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("val", T.LongType(), True),
+    ])
+    table = LakeTable.create(str(tmp_path / "t"), payload, n_buckets=8)
+
+    def delta(rows, epoch):
+        df = spark.createDataFrame(
+            rows, "doc_id string, val long, _rev long, _deleted boolean"
+        )
+        table.append_delta(df, epoch_id=epoch)
+
+    delta([(f"k{i:03d}", i, i + 1, False) for i in range(50)], 0)
+    table.compact(spark)
+    delta([("k007", 700, 100, False), ("k011", None, 101, True)], 1)
+
+    got = {r["doc_id"]: r["val"] for r in table.scan_keys(
+        spark, ["k007", "k011", "k020", "nope"]).collect()}
+    assert got == {"k007": 700, "k020": 20}
+
+    import pytest
+    with pytest.raises(ValueError):
+        table.scan_keys(spark, [])

@@ -267,3 +267,40 @@ def test_table_mirror_filtered_projection(spark, tmp_path):
     kinds = {r["doc_id"]: r["_change_type"]
              for r in down.read_changes(spark, 0).collect()}
     assert kinds == {"a": "INSERT"}
+
+
+def test_table_mirror_follows_schema_evolution(spark, tmp_path):
+    """A full (no-projection) TableMirror follows upstream ADDITIVE
+    schema evolution: new columns appear downstream automatically (the
+    feed carries the evolved after-image; append_delta auto-evolves the
+    downstream table)."""
+    from pyspark.sql import types as T
+
+    from bitcoin_etl_spark.lake.table import LakeTable
+    from bitcoin_etl_spark.streaming.feed import TableMirror
+
+    payload = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("val", T.LongType(), True),
+    ])
+    up = LakeTable.create(str(tmp_path / "up"), payload, n_buckets=4)
+    down = LakeTable.create(str(tmp_path / "down"), payload, n_buckets=4)
+    mirror = TableMirror(spark, up, down, str(tmp_path / "c.json"))
+
+    up.append_delta(spark.createDataFrame(
+        [("a", 1, 1, False)],
+        "doc_id string, val long, _rev long, _deleted boolean",
+    ), epoch_id=0)
+    mirror.run_available()
+
+    # upstream evolves: new source column
+    up.append_delta(spark.createDataFrame(
+        [("b", 2, "web", 2, False)],
+        "doc_id string, val long, src string, _rev long, _deleted boolean",
+    ), epoch_id=1)
+    mirror.run_available()
+
+    rows = {r["doc_id"]: (r["val"], r["src"])
+            for r in down.read_final(spark).collect()}
+    assert rows == {"a": (1, None), "b": (2, "web")}
+    assert "src" in down.schema().fieldNames()
