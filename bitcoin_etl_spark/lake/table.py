@@ -975,50 +975,63 @@ class LakeTable:
             e["kind"] = "delta"
         self._count_rows(entries, self.path, key=self.key)
         rows = sum(e["rows"] for e in entries)
-        nm = self._next_manifest("append-delta")
-        nm["files"].extend(entries)
-        # repair watermark: the rev range this commit ADDS. read_changes
-        # uses it to detect out-of-order commits (patch-by-replay of a
-        # withheld epoch carries its ORIGINAL low seq as _rev) inside a
-        # feed range and fall back to a full snapshot diff — rev-based
-        # file skipping would silently drop such a commit's net changes
-        # (new keys inserted, or old keys deleted, at a rev below the
-        # consumer's high-water mark).
-        revs = [e["rev_min"] for e in entries
-                if e.get("rev_min") is not None and e["rows"]]
-        if revs:
-            nm["appended_rev_min"] = min(revs)
-            nm["appended_rev_max"] = max(
-                e["rev_max"] for e in entries
-                if e.get("rev_max") is not None and e["rows"]
-            )
         extra = dict(stats or {})
         if stats_cb is not None:
             # data write (the action) is done — observed metrics are ready;
             # they land in the SAME atomic manifest commit as the data.
             extra.update(stats_cb() or {})
-        # running distinct-key upper bound: this commit's HLL estimate
-        # (riding the write job as an Observation — zero extra cost) adds
-        # to the parent's bound. A stats-less append poisons the bound to
-        # None (unknown) until the next full compaction resets it to the
-        # exact base count. The sum of per-commit EXACT distincts upper-
-        # bounds the union; HLL carries ~2% relative error per term, so
-        # the consumer (_dedup_latest auto) inflates the bound by 10%
-        # before comparing it to the broadcast budget.
-        dk = extra.get("distinct_keys")
-        kb = nm.get("keys_bound")
-        nm["keys_bound"] = (
-            kb + int(dk) if (kb is not None and dk is not None) else None
-        )
-        if epoch_id is not None:
-            led = nm["ledger"].setdefault(pipeline_id, {})
-            led[str(epoch_id)] = {
-                "rows": rows,
-                "version": nm["version"],
-                "committed_at": time.time(),
-                "duration_ms": (time.time() - t0) * 1000.0,
-                **extra,
-            }
+
+        def build_nm() -> dict:
+            """Metadata for this append ON TOP OF the current head —
+            rebuilt per commit attempt, so a lost publish race replans
+            ONLY this JSON (the data files are immutable and
+            parent-independent), never the data write: the Iceberg
+            optimistic-commit-retry model."""
+            nm = self._next_manifest("append-delta")
+            nm["files"].extend(entries)
+            # repair watermark: the rev range this commit ADDS.
+            # read_changes uses it to detect out-of-order commits
+            # (patch-by-replay of a withheld epoch carries its ORIGINAL
+            # low seq as _rev) inside a feed range and fall back to a
+            # full snapshot diff — rev-based file skipping would
+            # silently drop such a commit's net changes (new keys
+            # inserted, or old keys deleted, at a rev below the
+            # consumer's high-water mark).
+            revs = [e["rev_min"] for e in entries
+                    if e.get("rev_min") is not None and e["rows"]]
+            if revs:
+                nm["appended_rev_min"] = min(revs)
+                nm["appended_rev_max"] = max(
+                    e["rev_max"] for e in entries
+                    if e.get("rev_max") is not None and e["rows"]
+                )
+            # running distinct-key upper bound: this commit's HLL
+            # estimate (riding the write job as an Observation — zero
+            # extra cost) adds to the parent's bound. A stats-less
+            # append poisons the bound to None (unknown) until the next
+            # full compaction resets it to the exact base count. The
+            # sum of per-commit EXACT distincts upper-bounds the union;
+            # HLL carries ~2% relative error per term, so the consumer
+            # (_dedup_latest auto) inflates the bound by 10% before
+            # comparing it to the broadcast budget.
+            dk = extra.get("distinct_keys")
+            kb = nm.get("keys_bound")
+            nm["keys_bound"] = (
+                kb + int(dk) if (kb is not None and dk is not None)
+                else None
+            )
+            if epoch_id is not None:
+                led = nm["ledger"].setdefault(pipeline_id, {})
+                led[str(epoch_id)] = {
+                    "rows": rows,
+                    "version": nm["version"],
+                    "committed_at": time.time(),
+                    "duration_ms": (time.time() - t0) * 1000.0,
+                    **extra,
+                }
+            return nm
+
+        nm = build_nm()
         if staged:
             sid = uuid.uuid4().hex[:12]
             spath = os.path.join(self._manifest_dir, f"staged-{sid}.json")
@@ -1035,14 +1048,28 @@ class LakeTable:
             return {"skipped": False, "staged": True, "staging_id": sid,
                     "epoch": epoch_id, "rows": rows,
                     "parent_version": nm["parent"]}
-        try:
-            self._publish(nm)
-        except CommitConflict:
-            # lose the race: clean our data files and surface the conflict
-            shutil.rmtree(os.path.join(self._data_dir, sub), ignore_errors=True)
-            raise
-        return {"skipped": False, "epoch": epoch_id, "rows": rows,
-                "version": nm["version"]}
+        retries = int(os.environ.get("SPARK_GRAFT_COMMIT_RETRIES", "3"))
+        for attempt in range(retries + 1):
+            try:
+                self._publish(nm)
+                return {"skipped": False, "epoch": epoch_id, "rows": rows,
+                        "version": nm["version"]}
+            except CommitConflict:
+                # a concurrent writer took our version. The expensive
+                # half (data files) is parent-independent — replan the
+                # metadata on the new head and retry; only give up (and
+                # clean the orphaned files) when retries are exhausted
+                # or the racing writer committed OUR epoch.
+                if (epoch_id is not None
+                        and epoch_id in self.committed_epochs(pipeline_id)):
+                    shutil.rmtree(os.path.join(self._data_dir, sub),
+                                  ignore_errors=True)
+                    return {"skipped": True, "epoch": epoch_id}
+                if attempt == retries:
+                    shutil.rmtree(os.path.join(self._data_dir, sub),
+                                  ignore_errors=True)
+                    raise
+                nm = build_nm()
 
     # -------------------------------------------------- write-audit-publish
     def _staged_path(self, staging_id: str) -> str:

@@ -994,3 +994,62 @@ def test_scan_keys_batch_point_lookup(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError):
         table.scan_keys(spark, [])
+
+
+def test_append_commit_retry_on_conflict(spark, tmp_path, monkeypatch):
+    """Optimistic commit retry: when a concurrent writer takes the
+    version, append_delta replans ONLY the manifest JSON on the new
+    head (data files are parent-independent) and commits — and when the
+    racing writer committed the SAME epoch, the append returns skipped
+    and removes its orphaned files (exactly-once survives the race)."""
+    import glob as _glob
+    import os
+
+    from pyspark.sql import types as T
+
+    payload = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("val", T.LongType(), True),
+    ])
+    a = LakeTable.create(str(tmp_path / "t"), payload, n_buckets=4)
+    b = LakeTable.load(str(tmp_path / "t"))
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            rows, "doc_id string, val long, _rev long, _deleted boolean"
+        )
+
+    real_publish = LakeTable._publish
+    state = {"armed": None}
+
+    def racing(self, manifest):
+        if state["armed"] and self is a \
+                and manifest.get("operation") == "append-delta":
+            payload_fn = state["armed"]
+            state["armed"] = None
+            payload_fn()  # the concurrent writer lands first
+        return real_publish(self, manifest)
+
+    monkeypatch.setattr(LakeTable, "_publish", racing)
+
+    # race 1: different epochs — A must retry on the new head and land
+    state["armed"] = lambda: b.append_delta(
+        df_of([("b1", 1, 1, False)]), epoch_id=50)
+    res = a.append_delta(df_of([("a1", 2, 2, False)]), epoch_id=1)
+    assert res["skipped"] is False
+    got = {r["doc_id"]: r["val"] for r in a.read_final(spark).collect()}
+    assert got == {"a1": 2, "b1": 1}
+    assert {1, 50} <= set(a.committed_epochs("default"))
+
+    # race 2: SAME epoch committed by the racer — A skips and cleans up
+    state["armed"] = lambda: b.append_delta(
+        df_of([("w", 9, 9, False)]), epoch_id=7)
+    res = a.append_delta(df_of([("w", 8, 8, False)]), epoch_id=7)
+    assert res == {"skipped": True, "epoch": 7}
+    got = {r["doc_id"]: r["val"] for r in a.read_final(spark).collect()}
+    assert got["w"] == 9  # the racer's image won; A's attempt left no rows
+    # no orphans: every parquet on disk is referenced by the manifest
+    on_disk = {os.path.relpath(p, a.path) for p in _glob.glob(
+        f"{a.path}/data/**/*.parquet", recursive=True)}
+    referenced = {f["path"] for f in a.manifest()["files"]}
+    assert on_disk == referenced, on_disk - referenced
