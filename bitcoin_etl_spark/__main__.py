@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from pyspark.sql import functions as F, types as T
@@ -199,6 +200,30 @@ def cmd_staged(args):
         print(json.dumps(table.abort_staged(args.id)))
 
 
+def cmd_mirror(args):
+    """Drain available upstream changes into a downstream derived
+    table (TableMirror; creates the downstream on --create)."""
+    from .lake import LakeTable
+    from .streaming.feed import TableMirror
+
+    spark = _spark(args)
+    up = LakeTable.load(args.table)
+    if args.create and not os.path.exists(
+        os.path.join(args.downstream, "manifest")
+    ):
+        LakeTable.create(
+            args.downstream, up.payload_schema(), key=up.key,
+            n_buckets=up.n_buckets,
+        )
+    down = LakeTable.load(args.downstream)
+    mirror = TableMirror(
+        spark, up, down, args.cursor,
+        where=args.where,
+        select=args.select.split(",") if args.select else None,
+    )
+    print(json.dumps(mirror.run_available()))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="bitcoin_etl_spark")
     p.add_argument("--cores", type=int, default=None)
@@ -265,6 +290,17 @@ def main(argv=None):
     table_args(lk, with_changes=False)
     lk.add_argument("--key", required=True)
 
+    mi = sub.add_parser(
+        "mirror", help="maintain a derived table off the change feed"
+    )
+    table_args(mi, with_changes=False)
+    mi.add_argument("--downstream", required=True)
+    mi.add_argument("--cursor", required=True)
+    mi.add_argument("--where", default=None)
+    mi.add_argument("--select", default=None,
+                    help="comma-separated payload columns to keep")
+    mi.add_argument("--create", action="store_true")
+
     st = sub.add_parser("staged",
                         help="write-audit-publish staged commits")
     table_args(st, with_changes=False)
@@ -283,6 +319,7 @@ def main(argv=None):
         "snapshots": cmd_snapshots,
         "changes": cmd_changes,
         "lookup": cmd_lookup,
+        "mirror": cmd_mirror,
         "staged": cmd_staged,
     }[args.cmd](args)
 

@@ -3358,6 +3358,43 @@ def events_hopping_window(spark, sf_dir):
     )
 
 
+@_q(
+    "q4_late_order_priority",
+    """
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY 1
+    """,
+)
+def q4_late_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape — EXISTS decorrelated to a LEFT SEMI join with a
+    mixed equi + non-equi condition (orders with at least one lineitem
+    shipped >60 days after the order date). The semi join keeps each
+    order at most once with no post-join dedup; the date filter pushes
+    to the orders scan."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+
+
 def _pq_sql(dim: int = 64, m: int = 4, k: int = 4, seed: int = 0) -> str:
     """Generated oracle for ann_pq_codes: the SAME codebook literals and
     the SAME left-associated squared-distance chains as pq_encode, so
@@ -3479,6 +3516,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_bigram_lm_counts",
     "events_hopping_window",
     "ann_pq_codes",
+    "q4_late_order_priority",
 ]
 
 

@@ -195,3 +195,57 @@ def test_cli_lookup_and_staged(tmp_path, spark):
          if l.startswith("[")][-1]
     )
     assert listed == []
+
+
+def test_cli_mirror(tmp_path):
+    """CLI mirror: replay upstream, then maintain a filtered downstream
+    derived table via the change feed; a second drain with no upstream
+    commits is a no-op."""
+    scen = str(tmp_path / "scen")
+    table = str(tmp_path / "table")
+    down = str(tmp_path / "down")
+    cursor = str(tmp_path / "cursor.json")
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "bitcoin_etl_spark", "--cores", "4", *argv],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return r.stdout
+
+    run("generate", "--out", scen, "--events", "1000", "--epochs", "2",
+        "--keys", "120")
+    run("replay", "--table", table, "--changes", f"{scen}/changes",
+        "--create")
+    out = run("mirror", "--table", table, "--downstream", down,
+              "--cursor", cursor, "--where", "n_tok >= 8", "--create")
+    ranges = json.loads(
+        [l for l in out.splitlines() if l.startswith("[")][-1]
+    )
+    assert ranges and ranges[0]["from_version"] == 0
+
+    import duckdb
+
+    n_down = duckdb.sql(f"""
+        SELECT count(*) FROM (
+          SELECT doc_id FROM read_parquet('{down}/data/**/*.parquet')
+          QUALIFY row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY _rev DESC) = 1
+        ) t JOIN read_parquet('{down}/data/**/*.parquet') d USING (doc_id)
+        WHERE d._deleted = false AND d.n_tok >= 8
+          AND d._rev = (SELECT max(_rev) FROM
+                        read_parquet('{down}/data/**/*.parquet') x
+                        WHERE x.doc_id = t.doc_id)
+    """).fetchone()[0]
+    n_expected = duckdb.sql(
+        f"SELECT count(*) FROM '{scen}/expected_docs.parquet' "
+        f"WHERE n_tok >= 8"
+    ).fetchone()[0]
+    assert n_down == n_expected and n_expected > 0
+
+    out2 = run("mirror", "--table", table, "--downstream", down,
+               "--cursor", cursor, "--where", "n_tok >= 8")
+    assert json.loads(
+        [l for l in out2.splitlines() if l.startswith("[")][-1]
+    ) == []
