@@ -1278,6 +1278,70 @@ class LakeTable:
             "replaced_files": len(drop),
         }
 
+    def stats(self) -> dict:
+        """Operational summary from the manifest chain only (no job):
+        sizes, layout, merge-on-read debt, commit counts — the
+        DESCRIBE EXTENDED / table-metrics surface."""
+        m = self.manifest()
+        files = m["files"]
+        base = [f for f in files if f.get("kind") == "base"]
+        delta = [f for f in files if f.get("kind") != "base"]
+        plan = self.plan_compaction()
+        return {
+            "version": m["version"],
+            "n_buckets": m["n_buckets"],
+            "files": len(files),
+            "base_files": len(base),
+            "delta_files": len(delta),
+            "base_rows": sum(f["rows"] or 0 for f in base),
+            "delta_rows": sum(f["rows"] or 0 for f in delta),
+            "keys_bound": m.get("keys_bound"),
+            "rev_high": self.rev_high(),
+            "committed_epochs": {
+                p: len(led) for p, led in m["ledger"].items()
+            },
+            "staged_commits": self.staged_commits(),
+            "compaction_due": bool(plan["minor"] or plan["buckets"]),
+            "schema_fields": len(m["schema"].get("fields", [])),
+        }
+
+    def clone_to(self, dest: str) -> "LakeTable":
+        """Zero-copy snapshot clone: hard-link the CURRENT version's
+        data files under ``dest`` and start a fresh manifest chain at
+        v0 referencing them — the Delta SHALLOW CLONE / Iceberg
+        snapshot-table analog for dev/test forks. The clone is fully
+        independent going forward (its own commits, ledger, vacuum);
+        hard links mean the shared immutable files cost no extra
+        storage, and either side vacuuming its link never deletes the
+        other's (link count protects the inode). Requires dest on the
+        same filesystem."""
+        m = self.manifest()
+        os.makedirs(os.path.join(dest, "manifest"), exist_ok=False)
+        os.makedirs(os.path.join(dest, "data"), exist_ok=True)
+        files = []
+        for f in m["files"]:
+            src = os.path.join(self.path, f["path"])
+            dst = os.path.join(dest, f["path"])
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.link(src, dst)
+            files.append(dict(f))
+        t = LakeTable(dest, key=self.key, n_buckets=m["n_buckets"])
+        t.assume_unique_rev = self.assume_unique_rev
+        t._publish({
+            "version": 0,
+            "parent": None,
+            "schema": m["schema"],
+            "key": m["key"],
+            "n_buckets": m["n_buckets"],
+            "files": files,
+            "ledger": json.loads(json.dumps(m["ledger"])),
+            "properties": dict(m["properties"]),
+            "keys_bound": m.get("keys_bound"),
+            "committed_at": time.time(),
+            "operation": f"clone-of-{self.path}@v{m['version']}",
+        })
+        return t
+
     def plan_compaction(
         self,
         max_delta_rows_per_bucket: int = 1_000_000,

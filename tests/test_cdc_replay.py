@@ -1053,3 +1053,56 @@ def test_append_commit_retry_on_conflict(spark, tmp_path, monkeypatch):
         f"{a.path}/data/**/*.parquet", recursive=True)}
     referenced = {f["path"] for f in a.manifest()["files"]}
     assert on_disk == referenced, on_disk - referenced
+
+
+def test_stats_and_shallow_clone(spark, tmp_path):
+    """stats() summarizes the manifest with no job; clone_to hard-links
+    the snapshot into an independent table: identical state, divergent
+    after independent commits, and vacuum on the clone never harms the
+    original (link counts protect shared inodes)."""
+    from pyspark.sql import types as T
+
+    payload = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("val", T.LongType(), True),
+    ])
+    table = LakeTable.create(str(tmp_path / "t"), payload, n_buckets=4)
+
+    def delta(t, rows, epoch):
+        df = spark.createDataFrame(
+            rows, "doc_id string, val long, _rev long, _deleted boolean"
+        )
+        t.append_delta(df, epoch_id=epoch)
+
+    delta(table, [(f"k{i}", i, i + 1, False) for i in range(20)], 0)
+    table.compact(spark)
+    assert table.stats()["keys_bound"] == 20  # exact after full compact
+    delta(table, [("k0", 99, 100, False)], 1)
+
+    s = table.stats()
+    assert s["base_rows"] == 20 and s["delta_rows"] == 1
+    assert s["rev_high"] == 100 and s["committed_epochs"] == {"default": 2}
+    # the raw append carried no HLL stats -> bound honestly unknown
+    assert s["keys_bound"] is None
+
+    clone = table.clone_to(str(tmp_path / "fork"))
+    assert {r["doc_id"]: r["val"] for r in clone.read_final(spark).collect()} \
+        == {r["doc_id"]: r["val"] for r in table.read_final(spark).collect()}
+    # clone's ledger carried over: replaying epoch 1 into the clone skips
+    assert clone.append_delta(spark.createDataFrame(
+        [("k0", 99, 100, False)],
+        "doc_id string, val long, _rev long, _deleted boolean",
+    ), epoch_id=1)["skipped"] is True
+
+    # divergence: clone takes new data the original never sees
+    delta(clone, [("only_fork", 7, 200, False)], 5)
+    assert clone.read_final(spark).count() == 21
+    assert table.read_final(spark).count() == 20
+
+    # clone compacts + vacuums its own chain; original still reads fine
+    clone.compact(spark)
+    removed = clone.vacuum(keep_versions=1)
+    assert removed > 0
+    assert table.read_final(spark).count() == 20
+    assert {r["doc_id"] for r in table.point_lookup(spark, "k0").collect()} \
+        == {"k0"}
