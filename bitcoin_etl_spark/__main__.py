@@ -165,6 +165,10 @@ def cmd_snapshots(args):
     print(json.dumps(_open_table(args).snapshots()))
 
 
+def cmd_stats(args):
+    print(json.dumps(_open_table(args).stats()))
+
+
 def cmd_changes(args):
     """Incremental change feed between two snapshots as JSON lines —
     the downstream-consumer surface of LakeTable.read_changes."""
@@ -262,7 +266,7 @@ def main(argv=None):
     t.add_argument("--trigger", default="10 seconds")
     t.add_argument("--once", action="store_true")
 
-    for name in ("compact", "lineage", "snapshots"):
+    for name in ("compact", "lineage", "snapshots", "stats"):
         sp = sub.add_parser(name)
         table_args(sp, with_changes=False)
         if name == "compact":
@@ -317,6 +321,7 @@ def main(argv=None):
         "repair": cmd_repair,
         "lineage": cmd_lineage,
         "snapshots": cmd_snapshots,
+        "stats": cmd_stats,
         "changes": cmd_changes,
         "lookup": cmd_lookup,
         "mirror": cmd_mirror,
