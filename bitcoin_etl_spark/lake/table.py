@@ -914,10 +914,12 @@ class LakeTable:
         }
 
     def evolve_schema(self, extra: T.StructType) -> None:
-        """Additive column evolution committed as its own snapshot."""
+        """Additive column / numeric-widening evolution committed as its
+        own snapshot (no-op when nothing changes; widening changes
+        TYPES, not names, so the comparison is on the full schema)."""
         cur = self.schema()
         merged = merge_schemas(cur, extra)
-        if merged.fieldNames() == cur.fieldNames():
+        if json.loads(merged.json()) == json.loads(cur.json()):
             return
         nm = self._next_manifest("evolve-schema")
         nm["schema"] = json.loads(merged.json())
@@ -961,12 +963,13 @@ class LakeTable:
         t0 = time.time()
         if epoch_id is not None and epoch_id in self.committed_epochs(pipeline_id):
             return {"skipped": True, "epoch": epoch_id}
-        # auto-evolve: source carries columns the table lacks yet
-        extra = [c for c in df.columns if c not in set(self.schema().fieldNames())]
-        if extra:
-            self.evolve_schema(
-                T.StructType([df.schema[c] for c in extra])
-            )
+        # auto-evolve: source carries columns the table lacks yet, or a
+        # strictly wider lossless numeric type for an existing column
+        # (int->long / float->double, Iceberg promotion rules)
+        cur = self.schema()
+        evolved = merge_schemas(cur, df.schema)
+        if json.loads(evolved.json()) != json.loads(cur.json()):
+            self.evolve_schema(df.schema)
         schema = self.schema()
         aligned = self._align(df, schema)
         sub = f"delta-{uuid.uuid4().hex[:12]}"

@@ -77,14 +77,43 @@ def schema_from_json(payload: str) -> T.StructType:
     return T.StructType.fromJson(__import__("json").loads(payload))
 
 
-def merge_schemas(base: T.StructType, extra: T.StructType) -> T.StructType:
-    """Additive-nullable schema union (order: base fields, then new ones).
+# lossless numeric widenings, per Iceberg's promotion rules (and what
+# Spark 4's vectorized parquet reader can read old files through)
+_WIDEN_ORDER = {
+    "byte": 0, "short": 1, "integer": 2, "long": 3,
+    "float": 10, "double": 11,
+}
 
-    Mirrors Iceberg's add-column evolution; used by the MERGE path when a
-    source batch carries columns the target lacks yet.
-    """
+
+def _widens_to(old: T.DataType, new: T.DataType) -> bool:
+    """True if ``new`` is a strictly wider lossless type for ``old``."""
+    if isinstance(old, T.ArrayType) and isinstance(new, T.ArrayType):
+        return _widens_to(old.elementType, new.elementType)
+    a = _WIDEN_ORDER.get(old.typeName())
+    b = _WIDEN_ORDER.get(new.typeName())
+    return (
+        a is not None and b is not None and b > a
+        and (a < 10) == (b < 10)  # int-family and float-family separately
+    )
+
+
+def merge_schemas(base: T.StructType, extra: T.StructType) -> T.StructType:
+    """Schema union: base fields (numerically WIDENED in place when the
+    source carries a strictly wider lossless type — int→long,
+    float→double, array element-wise; Iceberg's promotion rules), then
+    new source fields appended nullable (add-column evolution). Old
+    data files remain readable under the evolved schema: Spark 4's
+    parquet reader upcasts narrow stored types to the widened read
+    schema."""
+    by_name = {f.name: f for f in extra.fields}
     names = {f.name for f in base.fields}
-    out = list(base.fields)
+    out = []
+    for f in base.fields:
+        e = by_name.get(f.name)
+        if e is not None and _widens_to(f.dataType, e.dataType):
+            out.append(T.StructField(f.name, e.dataType, f.nullable))
+        else:
+            out.append(f)
     for f in extra.fields:
         if f.name not in names:
             out.append(T.StructField(f.name, f.dataType, True))

@@ -65,3 +65,51 @@ def test_manual_evolve_then_merge(spark, tmp_path):
     v = table.current_version()
     table.evolve_schema(T.StructType([EVOLUTION_FIELD]))
     assert table.current_version() == v
+
+
+def test_numeric_type_widening_evolution(spark, tmp_path):
+    """A source batch carrying a strictly wider lossless numeric type
+    (int->long here) widens the table column in place (Iceberg
+    promotion): old int32 files read back through the widened schema,
+    merged state is correct, and the change feed spans the widening."""
+    from pyspark.sql import types as T
+
+    from bitcoin_etl_spark.lake import LakeTable
+
+    payload = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("val", T.IntegerType(), True),
+    ])
+    table = LakeTable.create(str(tmp_path / "t"), payload, n_buckets=4)
+    table.append_delta(spark.createDataFrame(
+        [("a", 1, 1, False), ("b", 2, 2, False)],
+        "doc_id string, val int, _rev long, _deleted boolean",
+    ), epoch_id=0)
+    v0 = table.current_version()
+    assert table.schema()["val"].dataType.typeName() == "integer"
+
+    # a long-valued batch (beyond int range) widens val to long
+    big = 5_000_000_000
+    table.append_delta(spark.createDataFrame(
+        [("b", big, 3, False), ("c", big + 1, 4, False)],
+        "doc_id string, val long, _rev long, _deleted boolean",
+    ), epoch_id=1)
+    assert table.schema()["val"].dataType.typeName() == "long"
+
+    got = {r["doc_id"]: r["val"] for r in table.read_final(spark).collect()}
+    assert got == {"a": 1, "b": big, "c": big + 1}
+
+    feed = {r["doc_id"]: (r["_change_type"], r["val"])
+            for r in table.read_changes(spark, v0).collect()}
+    assert feed == {"b": ("UPDATE_AFTER", big), "c": ("INSERT", big + 1)}
+
+    # compaction rewrites everything as long; state survives
+    table.compact(spark)
+    got = {r["doc_id"]: r["val"] for r in table.read_final(spark).collect()}
+    assert got == {"a": 1, "b": big, "c": big + 1}
+    # narrowing attempts do NOT change the schema back
+    table.append_delta(spark.createDataFrame(
+        [("d", 9, 5, False)],
+        "doc_id string, val int, _rev long, _deleted boolean",
+    ), epoch_id=2)
+    assert table.schema()["val"].dataType.typeName() == "long"
