@@ -3359,6 +3359,43 @@ def events_hopping_window(spark, sf_dir):
 
 
 @_q(
+    "text_vocab_coverage",
+    """
+    WITH freq AS (
+      SELECT t AS token, count(*) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      GROUP BY 1
+    ),
+    top AS (SELECT c FROM freq ORDER BY c DESC, token LIMIT 100)
+    SELECT CAST((SELECT sum(c) FROM top) AS BIGINT) AS covered,
+           CAST((SELECT sum(c) FROM freq) AS BIGINT) AS total,
+           CAST((SELECT count(*) FROM freq) AS BIGINT) AS vocab_size
+    """,
+)
+def text_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage: what fraction of corpus token OCCURRENCES
+    the top-100 tokens cover (emitted as covered/total per the ratio
+    convention, plus the distinct-vocab size) — the tokenizer-budget /
+    OOV-rate profiling pass of a training-data pipeline. Shapes: one
+    explode → partial-agg shuffle for the frequency table, a
+    TakeOrderedAndProject for the top-100 (never a global sort of the
+    vocab), and two scalar aggregates joined as 1-row broadcasts."""
+    docs = load(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    top = freq.orderBy(F.desc("c"), F.asc("token")).limit(100)
+    covered = top.agg(F.sum("c").cast("long").alias("covered"))
+    totals = freq.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count("*").cast("long").alias("vocab_size"),
+    )
+    return covered.crossJoin(totals)
+
+
+@_q(
     "q4_late_order_priority",
     """
     SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
@@ -3517,6 +3554,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "events_hopping_window",
     "ann_pq_codes",
     "q4_late_order_priority",
+    "text_vocab_coverage",
 ]
 
 
