@@ -2808,6 +2808,42 @@ def events_asof_join(spark, sf_dir):
 
 
 @_q(
+    "events_asof_join_split",
+    """
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           s.event_id AS signup_event_id,
+           s.value AS signup_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def events_asof_join_split(spark, sf_dir):
+    """The HOT-KEY path of the as-of join: same semantics as
+    `events_asof_join` (same DuckDB native-ASOF oracle) but computed
+    with `split_seconds=3600` — every key's history pre-split into
+    hourly coarse buckets with the carried-forward closing state, so a
+    Zipf key's window work spreads across history/1h partitions instead
+    of one (VERDICT r04 #5). Having both registered keeps the split
+    path under independent driver correctness, not just pytest."""
+    from ..ops.temporal import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "purchase")
+    state = ev.filter(F.col("event_type") == "signup")
+    out = asof_join(probe, state, "user_id", "ts", ["event_id", "value"],
+                    split_seconds=3600)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.col("event_id_asof").alias("signup_event_id"),
+        F.col("value_asof").alias("signup_value"),
+    )
+
+
+@_q(
     "events_session_rollup",
     """
     WITH b AS (
@@ -3555,6 +3591,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "ann_pq_codes",
     "q4_late_order_priority",
     "text_vocab_coverage",
+    "events_asof_join_split",
 ]
 
 
