@@ -634,3 +634,35 @@ def dedup_keep_policy(df: DataFrame, pairs: DataFrame,
             .alias("keep"),
         )
     )
+
+
+def dedup_keep_best(df: DataFrame, pairs: DataFrame,
+                    id_col: str = "doc_id",
+                    score_col: str = "n_chars") -> DataFrame:
+    """Quality-aware keep policy: within each near-dup component keep
+    the HIGHEST-``score_col`` doc (ties → lowest id); docs in no pair
+    keep themselves. What production corpus dedup actually does —
+    `dedup_keep_policy`'s min-id rule is arbitrary, this keeps the
+    longest/cleanest representative. Returns (id, component, keep).
+
+    Shape: components (iterative equi-joins) → one score join → one
+    per-component max_by (map-side partial argmax, deterministic
+    tie-break via the (score, -id) struct key — requires a numeric id).
+    """
+    cc = connected_components(pairs, id_a="id_a", id_b="id_b")
+    labeled = (
+        df.select(F.col(id_col).alias("node"), F.col(score_col).alias("_s"))
+        .join(cc, "node", "left")
+        .withColumn("component", F.coalesce("component", F.col("node")))
+    )
+    winners = labeled.groupBy("component").agg(
+        F.max_by(
+            "node", F.struct(F.col("_s").alias("_a"),
+                             (-F.col("node")).alias("_b"))
+        ).alias("_keep_id")
+    )
+    return labeled.join(winners, "component").select(
+        F.col("node").alias(id_col),
+        "component",
+        (F.col("node") == F.col("_keep_id")).alias("keep"),
+    )

@@ -1817,6 +1817,64 @@ def dedup_components(spark, sf_dir):
 ORACLES["dedup_components"] = _components_oracle_sql()
 
 
+def _keep_best_oracle_sql() -> str:
+    """Recursive-CTE components (same pairs) + deterministic window
+    winner: highest n_chars per component, ties to the lowest id."""
+    pairs_sql = _minhash_banded_sql()
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    cc AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+    labeled AS (
+      SELECT d.doc_id, d.n_chars,
+             coalesce(cc.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, component,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM labeled
+    )
+    SELECT doc_id, component, rn = 1 AS keep FROM ranked
+    """
+
+
+@_q("dedup_keep_best", None)
+def dedup_keep_best_q(spark, sf_dir):
+    """Quality-aware cluster dedup: same components as
+    `dedup_components` but keep the LONGEST doc per near-dup cluster
+    (ties to the lowest id) — the representative-selection rule real
+    corpus pipelines use instead of min-id. Spark side resolves the
+    winner with a per-component map-side-partial max_by on the
+    (n_chars, -id) struct key (no window over the full corpus); the
+    oracle closes the identical pairs with a recursive CTE and ranks
+    winners with an explicit deterministic window."""
+    from ..ops.dedup import (
+        dedup_keep_best,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, n_hashes=16)
+    pairs = lsh_candidate_pairs(sig, n_hashes=16, bands=4)
+    return dedup_keep_best(docs, pairs, score_col="n_chars")
+
+
+ORACLES["dedup_keep_best"] = _keep_best_oracle_sql()
+
+
 @_q(
     "events_funnel",
     """
@@ -3592,6 +3650,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q4_late_order_priority",
     "text_vocab_coverage",
     "events_asof_join_split",
+    "dedup_keep_best",
 ]
 
 
