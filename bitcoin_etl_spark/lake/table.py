@@ -735,6 +735,12 @@ class LakeTable:
         the same lower bound applies to the feed cursor: keep
         ``rev_high(cursor) ≥ min_retained_rev``."""
         m_to = self.manifest(to_version)
+        if from_version > m_to["version"]:
+            raise ValueError(
+                f"read_changes from_version {from_version} is ahead of "
+                f"to_version {m_to['version']} — a feed cursor can only "
+                f"move forward"
+            )
         schema = self.schema(to_version)
         self._check_retained(from_version)
         rev_a = self.rev_high(from_version)

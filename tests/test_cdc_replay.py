@@ -1106,3 +1106,24 @@ def test_stats_and_shallow_clone(spark, tmp_path):
     assert table.read_final(spark).count() == 20
     assert {r["doc_id"] for r in table.point_lookup(spark, "k0").collect()} \
         == {"k0"}
+
+
+def test_read_changes_rejects_backward_range(spark, tmp_path):
+    """A feed cursor ahead of the requested to_version is a caller bug
+    (cursor corruption / manual rollback past a vacuum): loud error, no
+    silent garbage feed."""
+    import pytest
+    from pyspark.sql import types as T
+
+    payload = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("val", T.LongType(), True),
+    ])
+    table = LakeTable.create(str(tmp_path / "t"), payload, n_buckets=4)
+    for e in range(2):
+        table.append_delta(spark.createDataFrame(
+            [(f"k{e}", e, e + 1, False)],
+            "doc_id string, val long, _rev long, _deleted boolean",
+        ), epoch_id=e)
+    with pytest.raises(ValueError, match="ahead of"):
+        table.read_changes(spark, 2, 1)
