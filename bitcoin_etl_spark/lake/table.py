@@ -855,8 +855,10 @@ class LakeTable:
         feed cursor's high-water mark. Net change per key between the
         two snapshots' latest images: rows whose (``_rev``,
         ``_deleted``) pair differs, classified against the BEFORE
-        liveness exactly like the fast path (a key dead on both sides
-        nets to nothing; a never-alive delete is dropped)."""
+        liveness (a key dead on both sides nets to nothing; a
+        never-alive delete is dropped — in classify=False mode this is
+        strictly NETTER than the fast path, which emits such DELETEs
+        because it never consults the before-state)."""
         before = self._dedup_latest(
             spark, self.manifest(from_version)["files"],
             self.schema(from_version), "auto",
