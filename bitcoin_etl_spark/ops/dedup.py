@@ -192,6 +192,14 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
     array<long> natively, and the same key is computable in an
     independent SQL oracle (no Spark-only xxhash64)."""
     rows = n_hashes // bands
+    # the signature frame feeds BOTH self-join sides: without a plan
+    # barrier the whole upstream (shingle explode + md5 + groupBy) is
+    # planned — and executed — twice, once per side (confirmed in the
+    # r06 before-plan: two identical 15-operator subtrees). The frame is
+    # one row per doc (id + n_hashes longs), so materializing it is
+    # near-free at any corpus size.
+    if not sig.isStreaming:
+        sig = sig.localCheckpoint()
     # ONE explode over a per-row band array, not a union of `bands`
     # projections of the signature subtree: a union re-plans the final
     # aggregate of the (shuffled) signature computation once per band,
@@ -226,7 +234,15 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """SimHash: per-token 32-bit hash; the fingerprint's bit *b* is the
     majority vote of token-hash bit *b*. Implemented as explode(token) ×
     explode(bit) → signed vote sum → bit reassembly — three narrow ops
-    and one partial-agg shuffle; no UDFs."""
+    and one partial-agg shuffle; no UDFs.
+
+    Shape note (r06): an A/B against a single-aggregation variant (one
+    groupBy with ``bits`` conditional bit-count sums, no bit explode)
+    measured the explode form consistently FASTER at sf1.0 (0.6-0.7 s vs
+    0.8-1.0 s steady-state, plus a multi-second first-run codegen
+    compile for the 33-aggregate method) — the exploded rows are tiny
+    and collapse in the codegen'd map-side partial agg, while the wide
+    aggregate pays per-row update cost on every token. Kept as-is."""
     toks = _spread(df, id_col).select(
         F.col(id_col),
         F.explode(tokenize(F.col(text_col))).alias("tok"),
@@ -260,6 +276,11 @@ def hamming_near_pairs(sim: DataFrame, id_col: str = "doc_id",
     fell in the prefix and is gone."""
     n_bands = max_hamming + 1
     bounds = [round(i * bits / n_bands) for i in range(n_bands + 1)]
+    # self-join barrier: both sides read the (one-row-per-doc) signature
+    # frame — materialize it once instead of running the simhash
+    # aggregation twice (see lsh_candidate_pairs)
+    if not sim.isStreaming:
+        sim = sim.localCheckpoint()
     # one explode, not a union of n_bands projections of the (shuffled)
     # simhash subtree — see lsh_candidate_pairs
     band_arr = F.array(*[
@@ -269,19 +290,43 @@ def hamming_near_pairs(sim: DataFrame, id_col: str = "doc_id",
                 f"(simhash >> {bounds[b]}) & "
                 f"{(1 << (bounds[b + 1] - bounds[b])) - 1}"
             ).alias("bkey"),
+            # bitmask of the bands BELOW this one, used by the
+            # emit-once-from-lowest-agreeing-band join condition
+            F.lit((1 << b) - 1).alias("premask"),
         )
         for b in range(n_bands)
     ])
     banded = sim.select(
         F.col(id_col), F.col("simhash"), F.explode(band_arr).alias("_bb")
-    ).select(id_col, "simhash", "_bb.band", "_bb.bkey")
+    ).select(id_col, "simhash", "_bb.band", "_bb.bkey", "_bb.premask")
     a, b_ = banded.alias("a"), banded.alias("b")
+    # Each qualifying pair agrees on >= 1 band, so the naive union of
+    # per-band joins emits it once PER agreeing band (a hamming-0 pair:
+    # all n_bands times) and needs a distinct over the multiplied
+    # stream — an exchange + two hash aggregates over hundreds of
+    # millions of rows at sf1.0. Instead emit each pair exactly once,
+    # from its LOWEST agreeing band: agree_mask is the bitmask of bands
+    # on which the two fingerprints agree (pure xor/shift arithmetic),
+    # and the row for band B survives only when no band below B agrees.
+    # Result multiset is identical with zero dedup work.
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    agree_mask = None
+    for b in range(n_bands):
+        mask = (1 << (bounds[b + 1] - bounds[b])) - 1
+        term = F.when(
+            F.shiftright(xor, bounds[b]).bitwiseAND(F.lit(mask)) == 0,
+            F.lit(1 << b),
+        ).otherwise(F.lit(0))
+        agree_mask = term if agree_mask is None else agree_mask + term
+    first_band = agree_mask.bitwiseAND(F.col("a.premask")) == 0
     return (
         a.join(
             b_,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.bit_count(xor) <= max_hamming)
+            & first_band,
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -290,8 +335,6 @@ def hamming_near_pairs(sim: DataFrame, id_col: str = "doc_id",
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 

@@ -822,6 +822,11 @@ def dedup_minhash_lsh(spark, sf_dir):
         for s in range(4)
     ]
     sig = hashed.groupBy("doc_id").agg(*aggs)
+    # self-join barrier: sig feeds both sides — materialize the one-row-
+    # per-doc signature frame once instead of running the shingle
+    # explode + md5 + aggregation twice (ops.dedup.lsh_candidate_pairs
+    # applies the same barrier)
+    sig = sig.localCheckpoint()
     a = sig.alias("a")
     b = sig.alias("b")
     cond = (

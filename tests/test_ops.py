@@ -83,6 +83,35 @@ def test_simhash_identical_docs_equal_and_near(docs_with_dups):
     assert planted <= found
 
 
+def test_hamming_pairs_emit_once_matches_brute_force(spark):
+    """The r06 emit-from-lowest-agreeing-band join must yield EXACTLY
+    the brute-force multiset: every qualifying pair once (a hamming-0
+    pair agrees on all 5 bands and would appear 5x without the premask
+    condition), no duplicates, none missed."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(300)
+    sig = simhash(docs, bits=32)
+    banded = hamming_near_pairs(sig, max_hamming=4, bits=32)
+    brute = (
+        sig.alias("a")
+        .join(sig.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 4)
+    )
+    assert banded.exceptAll(brute).count() == 0
+    assert brute.exceptAll(banded).count() == 0
+    # no-duplicate invariant (the reason .distinct() could be dropped)
+    n = banded.count()
+    assert banded.select("id_a", "id_b").distinct().count() == n
+
+
 def test_cosine_topk_self_similarity(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
