@@ -409,10 +409,12 @@ def ngram_jaccard_pairs(df: DataFrame, candidates: DataFrame | None,
     ).localCheckpoint()
     sh = per_doc.select(F.col(id_col), F.explode("_shs").alias("sh"))
     if max_doc_freq is not None:
+        # anti-join against the (tiny) over-cap shingle set rather than
+        # inner-joining the full per-shingle frequency table — identical
+        # result, broadcast-sized build side (see winnow_candidate_pairs)
         freq = sh.groupBy("sh").agg(F.count("*").alias("_df"))
-        sh = sh.join(freq.filter(F.col("_df") <= max_doc_freq), "sh").select(
-            id_col, "sh"
-        )
+        hot = F.broadcast(freq.filter(F.col("_df") > max_doc_freq))
+        sh = sh.join(hot, "sh", "left_anti").select(id_col, "sh")
         # the capped stream feeds sizes + both join sides: materialize it
         # once so the freq aggregation + cap join run a single time
         # instead of once per consumer (the shingle scan formerly
@@ -538,10 +540,17 @@ def winnow_candidate_pairs(df: DataFrame, text_col: str = "text",
     ).localCheckpoint()
     ex = fp.select(F.col(id_col), F.explode("fps").alias("fp"))
     if max_doc_freq is not None:
+        # the cap DROPS fingerprints whose doc-frequency exceeds it, so
+        # anti-join against the hot set (tiny by construction — only
+        # boilerplate runs exceed the cap) instead of inner-joining the
+        # full frequency table (~one row per distinct fingerprint; the
+        # inner form planned a sort-merge join of two million-row sides
+        # at sf1.0, the anti form a broadcast of the handful of hot fps)
         freq = ex.groupBy("fp").agg(F.count("*").alias("_df"))
-        ex = ex.join(
-            freq.filter(F.col("_df") <= max_doc_freq), "fp"
-        ).select(id_col, "fp").localCheckpoint()
+        hot = F.broadcast(freq.filter(F.col("_df") > max_doc_freq))
+        ex = ex.join(hot, "fp", "left_anti").select(
+            id_col, "fp"
+        ).localCheckpoint()
         # barriered: the capped stream feeds BOTH self-join sides, and
         # without it the freq aggregation + cap join plan twice
     a = ex.select(F.col(id_col).alias("id_a"), "fp")

@@ -326,6 +326,26 @@ def test_winnow_shared_substring_guarantee(spark):
     assert 0 < len(out["c"]["fps"]) < out["c"]["n_grams"]
 
 
+def test_winnow_arrow_matches_expressions(spark, docs):
+    """The Arrow (hashlib+numpy mapInPandas) fingerprint path must be
+    bit-identical to the Column-expression path, including the short-doc
+    (n<1), no-window (m<1), null-text and non-ASCII edges."""
+    from bitcoin_etl_spark.ops.text import winnow_fingerprints
+
+    edge = spark.createDataFrame(
+        [(9001, "tiny"), (9002, None), (9003, "ÜBER über ünïcode " * 4),
+         (9004, "exactly thirty-two characters!!!")],
+        ["doc_id", "text"],
+    )
+    src = docs.select("doc_id", "text").limit(80).unionByName(edge)
+    for k, w in ((8, 4), (32, 16)):
+        fast = winnow_fingerprints(src, k=k, w=w, use_arrow=True)
+        ref = winnow_fingerprints(src, k=k, w=w, use_arrow=False)
+        assert fast.schema == ref.schema
+        assert fast.exceptAll(ref).count() == 0
+        assert ref.exceptAll(fast).count() == 0
+
+
 def test_winnow_pairs_plan_is_barriered(spark, docs):
     """Regression pin for the O(positions²) explode plan: the pair
     join must consume the CHECKPOINTED fingerprint frame, so its
