@@ -474,11 +474,18 @@ def contamination_pairs(corpus: DataFrame, benchmark: DataFrame,
     stream). With a large benchmark it degrades gracefully to the
     standard shingle equi-join. Output: (corpus_id, bench_id, n_shared)
     — the caller drops or masks flagged corpus docs."""
-    c = _tokens_frame(corpus, text_col, id_col).select(
+    # spread BOTH sides before the ~k-per-token gram amplification: the
+    # gram stream itself still never shuffles (the join stays broadcast,
+    # the only post-explode exchange is the final pair aggregation), but
+    # a single-row-group corpus file would otherwise pin the entire
+    # tokenize+13-gram pipeline to ONE task (measured 4.2 s single-task
+    # vs ~0.4 s spread at sf1.0) — the same rationale as _spread at the
+    # other explode sites
+    c = _tokens_frame(_spread(corpus, id_col), text_col, id_col).select(
         F.col(id_col).alias("corpus_id"),
         F.explode(F.array_distinct(_shingles_of(F.col("_ws"), k))).alias("sh"),
     )
-    b = _tokens_frame(benchmark, text_col, id_col).select(
+    b = _tokens_frame(_spread(benchmark, id_col), text_col, id_col).select(
         F.col(id_col).alias("bench_id"),
         F.explode(F.array_distinct(_shingles_of(F.col("_ws"), k))).alias("sh"),
     )
