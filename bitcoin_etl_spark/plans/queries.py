@@ -1594,6 +1594,7 @@ def kafka_codec_roundtrip(spark, sf_dir):
     table, so any encode/decode loss fails the hash — the broker-free
     proof that the wire format round-trips (reference
     kafka_exporter.py:38 json.dumps / ClickHouse JSONEachRow consumer)."""
+    from ..ops.dedup import _spread
     from ..sources.kafka import decode_frames, encode_frames
 
     ev = load(spark, sf_dir, "events")
@@ -1605,6 +1606,14 @@ def kafka_codec_roundtrip(spark, sf_dir):
         F.concat(F.lit("event_"), F.col("event_id").cast("string"))
         .alias("item_id"),
     )
+    # spread before the per-row JSON encode+decode: a single events file
+    # yields only totalBytes/4MB scan tasks, starving the codec stage
+    # (measured 4 tasks at sf1.0 — the whole 2M-row roundtrip on 4
+    # cores). Hash-partitioning by item_id also pre-satisfies the
+    # (event_type, item_id) distinct aggregation's clustering, so the
+    # post-decode exchange is elided — the shuffle moves BEFORE the
+    # expensive codec instead of after it, not in addition.
+    items = _spread(items, "item_id")
     frames = encode_frames(items, "transaction")
     back = decode_frames(frames, items.schema)
     return back.groupBy("event_type").agg(
