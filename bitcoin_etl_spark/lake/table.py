@@ -358,15 +358,36 @@ class LakeTable:
             # makes hot-key replays pick the broadcast join without the
             # old exact-count probe: 16M delta rows over 1.1M keys bound
             # to ~1.2M, not 16M. "join" chosen here is broadcast-safe
-            # because both are true upper bounds; past the budget the
-            # plan degrades to the serial-phase-free window — exactly
-            # where a billion-key table needs the shuffle plan anyway.
+            # because both are near-upper bounds (see the ±10% HLL
+            # caveat above); past the budget the plan degrades to the
+            # serial-phase-free window — exactly where a billion-key
+            # table needs the shuffle plan anyway.
+            #
+            # r06 refinement — the choice is also PARALLELISM-aware:
+            # the broadcast path's cost is serial-ish in the winner
+            # count (driver collect + hash-relation build, then the
+            # relation ships to every executor: ~bound x parallelism
+            # bytes of traffic), while the window plan's cost is the
+            # wide-row shuffle spread over the cluster (~rows / cores
+            # per core). So the join only pays off while
+            # bound x parallelism stays within ~2x the row count.
+            # Interleaved A/B at sf1.0 local[32] (20.4M rows, 1.42M
+            # winners): join 6.3-21.2 s (driver-serial build is host-
+            # weather-exposed) vs window 5.2-6.0 s; at 1-4 process-
+            # isolated executors with 1.1M winners the join won ~2x
+            # (round-5 A/B) — both regimes fall out of this rule with
+            # no count job and no driver sync.
             est = sum(f["rows"] or 0 for f in files)
+            bound = est
             if keys_bound is not None:
                 # 2-sigma margin over HLL's default 5% rsd
-                est = min(est, int(keys_bound * 1.10) + 16)
+                bound = min(est, int(keys_bound * 1.10) + 16)
+            par = spark.sparkContext.defaultParallelism
             strategy = (
-                "join" if est <= self._broadcast_winner_limit else "window"
+                "join"
+                if (bound <= self._broadcast_winner_limit
+                    and bound * par <= 2 * est)
+                else "window"
             )
         elif strategy == "probe":
             # exact-count variant: pay one narrow (key, max_rev) pass to

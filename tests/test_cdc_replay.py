@@ -471,6 +471,44 @@ def test_dedup_auto_exact_winner_decision(spark, tmp_path, monkeypatch):
         assert alt == expect, strat
 
 
+def test_dedup_auto_is_parallelism_aware(spark, tmp_path):
+    """r06: the job-free auto decision weighs the broadcast build's
+    serial cost against the per-core shuffle it saves — when the winner
+    bound is within the broadcast budget but bound x parallelism
+    exceeds ~2x the row count (rows barely collapse), auto must take
+    the window plan, not the broadcast join."""
+    from pyspark.sql import types as T
+
+    payload = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("val", T.LongType(), True),
+    ])
+    table = LakeTable.create(str(tmp_path / "t"), payload, n_buckets=4)
+    # 120 rows over 120 distinct keys: winners ~= rows, so the broadcast
+    # join would rebuild nearly the whole table driver-side for nothing
+    df = spark.createDataFrame(
+        [(f"k{i}", i, i, False) for i in range(120)],
+        "doc_id string, val long, _rev long, _deleted boolean",
+    )
+    table.append_delta(df, epoch_id=0)
+    bound = sum(f["rows"] for f in table.manifest()["files"])
+    kb = table.manifest()["keys_bound"]
+    if kb is not None:
+        bound = min(bound, int(kb * 1.10) + 16)
+    par = spark.sparkContext.defaultParallelism
+    assert bound * par > 2 * 120, "fixture must trip the parallelism term"
+    plan = table.read_final(spark, strategy="auto") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan[:2000]
+    assert "row_number" in plan or "Window" in plan, plan[:2000]
+    # results identical to the explicit join plan
+    got = sorted((r["doc_id"], r["val"])
+                 for r in table.read_final(spark, strategy="auto").collect())
+    ref = sorted((r["doc_id"], r["val"])
+                 for r in table.read_final(spark, strategy="join").collect())
+    assert got == ref
+
+
 def test_read_changes_across_schema_evolution(spark, tmp_path):
     """A feed spanning an additive schema evolution reads old files with
     the evolved schema: pre-evolution rows that change later surface
