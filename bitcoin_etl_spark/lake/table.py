@@ -513,11 +513,17 @@ class LakeTable:
         own key statistics under the pushed ``key = value`` filter.
         Returns an empty frame if the key is absent or deleted."""
         nb = self.manifest(version).get("n_buckets", self.n_buckets)
+        schema = self.schema(version)
+        # hash the lookup value AS the table's key type: xxhash64 over a
+        # Python-inferred literal type (e.g. int32 for a small int, or
+        # string for a stringified number) yields a DIFFERENT hash than
+        # the write-side xxhash64 over the actual column, silently
+        # pruning the right bucket to an empty result (ADVICE r05)
+        ktype = schema[self.key].dataType
         bucket_row = spark.range(1).select(
-            F.pmod(F.xxhash64(F.lit(value)), F.lit(nb))
+            F.pmod(F.xxhash64(F.lit(value).cast(ktype)), F.lit(nb))
         ).first()
         cand = self._point_lookup_files(value, int(bucket_row[0]), version)
-        schema = self.schema(version)
         if not cand:
             return spark.createDataFrame([], schema).filter(
                 ~F.col(DELETED_COL)
@@ -550,8 +556,13 @@ class LakeTable:
         if not values:
             raise ValueError("scan_keys needs at least one key")
         nb = self.manifest(version).get("n_buckets", self.n_buckets)
+        # the key frame is typed from the TABLE schema, not assumed
+        # string: a non-string key hashed as string lands in the wrong
+        # buckets and the scan silently misses every row (ADVICE r05)
+        ktype = self.schema(version)[self.key].dataType
         brows = spark.createDataFrame(
-            [(v,) for v in values], f"{self.key} string"
+            [(v,) for v in values],
+            T.StructType([T.StructField(self.key, ktype)]),
         ).select(
             self.key,
             F.pmod(F.xxhash64(F.col(self.key)), F.lit(nb)).alias("b"),

@@ -49,8 +49,9 @@ def asof_join(probe: DataFrame, state: DataFrame, key: str, ts: str,
     (key, bucket) so a hot key's history spreads across
     history_span/split_seconds partitions, and correctness across the
     cut is restored by injecting each bucket's carried-forward closing
-    state (the latest state row from any EARLIER bucket) as a synthetic
-    state row at the bucket boundary. Costs two extra small shuffles of
+    state (per state COLUMN, the latest non-null value from any EARLIER
+    bucket — matching the per-column last-ignorenulls semantics of the
+    unsplit sweep) as a synthetic state row at the bucket boundary. Costs two extra small shuffles of
     O(keys × buckets) rows (closing-state agg + carry window); choose
     ``split_seconds`` so a hot key emits ~shuffle-partition-sized slices
     per bucket. Result is row-identical to the unsplit path (pinned by
@@ -99,12 +100,21 @@ def _asof_carry_rows(tagged_state: DataFrame, probe: DataFrame, key: str,
     """Synthetic state rows carrying each coarse bucket's opening state.
 
     For every (key, bucket) that contains probe rows, emit one row at
-    the exact bucket-start timestamp holding the state columns of the
-    key's latest state row from any STRICTLY EARLIER bucket (same-bucket
-    state must not be backdated past probes that precede it). Tagged -1
-    so it sorts before real state at the boundary instant and is
-    superseded by any real in-bucket state via the running last().
-    Buckets whose carry is entirely NULL (no earlier state) are dropped.
+    the exact bucket-start timestamp carrying, PER STATE COLUMN, the
+    key's latest non-null value from any STRICTLY EARLIER bucket
+    (same-bucket state must not be backdated past probes that precede
+    it). Tagged -1 so it sorts before real state at the boundary
+    instant and is superseded by any real in-bucket state via the
+    running last(). Buckets with nothing to carry (every column NULL)
+    are dropped.
+
+    The carry is per-column, not a whole-row snapshot: the unsplit
+    sweep is ``last(col, ignorenulls)`` per column, so a state row may
+    contribute its non-null columns while a LATER row supplies others.
+    Snapshotting only the latest closing row lost exactly that — a
+    probe after a bucket cut saw NULL where the unsplit path returns an
+    earlier non-null value (ADVICE r05; pinned by the NULL-bearing
+    fixture in test_asof_join_hot_key_split_matches_plain).
 
     Shuffle cost: one partial agg of state to O(keys × state-buckets)
     closing rows, one key-partitioned window over
@@ -115,23 +125,31 @@ def _asof_carry_rows(tagged_state: DataFrame, probe: DataFrame, key: str,
     bs = split_seconds * 1_000_000
     sb = F.floor(_us(F.col(ts)) / bs)
     scols = [f"{c}{suffix}" for c in state_cols]
-    # one closing-state row per (key, state-bucket): latest by (ts, tag)
+    # per (key, state-bucket), per COLUMN: latest non-null value by
+    # (ts, tag) — max_by's ordering key is NULL for rows where the
+    # column is null, and max_by ignores null ordering keys, so each
+    # column independently closes at its own last non-null row
     closing = (
         tagged_state
         .withColumn("_split", sb)
         .groupBy(key, "_split")
-        .agg(F.max_by(
-            F.struct(*scols), F.struct(F.col(ts), F.col("_tag"))
-        ).alias("_close"))
-        .select(key, "_split", F.lit(0).alias("_mk"), "_close")
+        .agg(*[
+            F.max_by(
+                F.col(c),
+                F.when(F.col(c).isNotNull(),
+                       F.struct(F.col(ts), F.col("_tag"))),
+            ).alias(c)
+            for c in scols
+        ])
+        .select(key, "_split", F.lit(0).alias("_mk"), *scols)
     )
     markers = (
         probe
         .select(F.col(key), sb.alias("_split"))
         .distinct()
         .select(key, "_split", F.lit(-1).alias("_mk"),
-                F.lit(None).cast(closing.schema["_close"].dataType)
-                .alias("_close"))
+                *[F.lit(None).cast(tagged_state.schema[c].dataType)
+                  .alias(c) for c in scols])
     )
     # marker _mk=-1 sorts BEFORE the same bucket's closing row, so the
     # running last() sees only closings from buckets < marker's bucket
@@ -140,11 +158,16 @@ def _asof_carry_rows(tagged_state: DataFrame, probe: DataFrame, key: str,
         .orderBy(F.col("_split"), F.col("_mk"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    carried = (
-        closing.unionByName(markers)
-        .withColumn("_carry", F.last("_close", ignorenulls=True).over(cw))
-        .filter((F.col("_mk") == -1) & F.col("_carry").isNotNull())
-    )
+    carried = closing.unionByName(markers)
+    for c in scols:
+        carried = carried.withColumn(
+            c, F.last(c, ignorenulls=True).over(cw)
+        )
+    any_carry = None
+    for c in scols:
+        nn = F.col(c).isNotNull()
+        any_carry = nn if any_carry is None else (any_carry | nn)
+    carried = carried.filter((F.col("_mk") == -1) & any_carry)
     probe_schema = {f.name: f.dataType for f in probe.schema.fields}
     return carried.select(
         F.col(key),
@@ -153,8 +176,7 @@ def _asof_carry_rows(tagged_state: DataFrame, probe: DataFrame, key: str,
         F.timestamp_micros((F.col("_split") * bs).cast("long"))
         .cast(probe_schema[ts]).alias(ts),
         F.lit(-1).alias("_tag"),
-        *[F.col("_carry")[c].alias(c) for c in
-          [f"{s}{suffix}" for s in state_cols]],
+        *scols,
         *[F.lit(None).cast(probe_schema[c]).alias(c)
           for c in probe.columns if c not in (key, ts)],
     )

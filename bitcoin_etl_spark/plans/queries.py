@@ -56,8 +56,15 @@ def _hex32_to_long(col):
 def _changes_from_events(spark, sf_dir):
     """Reinterpret `events` as a change log: seq=event_id, key=user_id,
     'error' events are deletes — the item-stream shape of
-    `btc_streamer_adapter.py:99` with item_id per P13."""
-    ev = load(spark, sf_dir, "events")
+    `btc_streamer_adapter.py:99` with item_id per P13.
+
+    Spread to cluster parallelism first: the single events file yields
+    only totalBytes/4MB scan tasks, so the downstream per-key
+    aggregations otherwise run their whole map-side partial phase on ~4
+    cores (measured 2.3 s -> 1.1 s on the last-wins replay at sf1.0)."""
+    from ..ops.dedup import _spread
+
+    ev = _spread(load(spark, sf_dir, "events"), "user_id")
     return ev.select(
         F.col("event_id").alias("seq"),
         F.concat(F.lit("doc_"), F.col("user_id").cast("string")).alias("doc_id"),

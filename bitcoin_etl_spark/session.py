@@ -44,6 +44,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE SMJ->shuffled-hash rewrite, guarded at RUNTIME per
+        # partition: fires only when every post-shuffle partition fits
+        # the local map threshold, so local-scale joins skip the two
+        # sorts while 100 TB-scale partitions (>128 MB) keep the
+        # spill-safe sort-merge automatically (guide §3.1). Override
+        # with SPARK_GRAFT_SHJ_LOCAL_MAP; "0" restores the default-off.
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP", "128m"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")

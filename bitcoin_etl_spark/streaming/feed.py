@@ -133,6 +133,25 @@ class TableMirror:
         if from_beginning and not os.path.exists(cursor_path):
             with open(cursor_path, "w") as f:
                 json.dump({"last_version": 0}, f)
+        # Crash-recovery (ADVICE r05): the mirror commits epoch_id =
+        # to_version into the downstream ledger ATOMICALLY with the
+        # rows, then advances the cursor. A crash between the two would
+        # re-deliver the old range — and if new upstream commits landed
+        # meanwhile, under a NEW epoch id (to_version moved), appending
+        # duplicate (key, _rev) rows that only the safety dedup hides.
+        # The ledger is the authoritative exactly-once record, so
+        # fast-forward the cursor to the last applied to_version before
+        # tailing; the next batch then starts exactly where the applied
+        # data ends.
+        applied = downstream.ledger("mirror")
+        if applied and os.path.exists(cursor_path):
+            last_applied = max(int(e) for e in applied)
+            with open(cursor_path) as f:
+                cur = json.load(f)
+            if last_applied > int(cur.get("last_version", 0)):
+                cur["last_version"] = last_applied
+                with open(cursor_path, "w") as f:
+                    json.dump(cur, f)
         self.tailer = ChangeFeedTailer(
             spark, upstream, self._sink, cursor_path, classify=False,
             max_versions_per_batch=max_versions_per_batch,

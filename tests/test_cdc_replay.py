@@ -1002,6 +1002,32 @@ def test_plan_compaction_schedules_due_buckets(spark, tmp_path):
     assert len(got) == 80 and got["k0"] == 100 and got["k59"] == 259
 
 
+def test_point_lookup_and_scan_keys_on_long_key(spark, tmp_path):
+    """ADVICE r05: a NON-string key column must hash to the same bucket
+    at lookup time as at write time — a Python-int literal hashed as
+    int32 (or a key frame typed string) lands in the wrong bucket and
+    the pruned scan silently returns empty."""
+    from pyspark.sql import types as T
+
+    payload = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("val", T.StringType(), True),
+    ])
+    table = LakeTable.create(str(tmp_path / "t"), payload, n_buckets=8)
+    df = spark.createDataFrame(
+        [(i, f"v{i}", i, False) for i in range(64)],
+        "doc_id long, val string, _rev long, _deleted boolean",
+    )
+    table.append_delta(df, epoch_id=0)
+    table.compact(spark)
+    for k in (0, 7, 63):
+        got = table.point_lookup(spark, k).collect()
+        assert len(got) == 1 and got[0]["val"] == f"v{k}", k
+    got = {r["doc_id"]: r["val"]
+           for r in table.scan_keys(spark, [1, 33, 62]).collect()}
+    assert got == {1: "v1", 33: "v33", 62: "v62"}
+
+
 def test_scan_keys_batch_point_lookup(spark, tmp_path):
     """scan_keys returns the latest live images for a key list in one
     pruned scan: updated keys at their newest value, deleted and absent

@@ -715,10 +715,16 @@ def test_asof_join_hot_key_split_matches_plain(spark):
     base = pd.Timestamp("2024-01-01")
     # Zipf-ish: key 0 takes ~half the rows; keys 1-9 share the rest
     keys = np.where(rng.rand(600) < 0.5, 0, rng.randint(1, 10, 600))
+    # aux is non-null only on ~20% of EARLY state rows: after a bucket
+    # cut the latest closing row usually has aux NULL while an earlier
+    # row holds a value — the per-column last(ignorenulls) semantics the
+    # whole-row carry snapshot lost (ADVICE r05)
+    aux_ok = (rng.rand(200) < 0.2) & (np.arange(200) < 120)
     state = pd.DataFrame({
         "k": keys[:200],
         "ts": base + pd.to_timedelta(rng.randint(0, 50_000, 200), unit="s"),
         "sval": np.arange(200, dtype="int64"),
+        "aux": np.where(aux_ok, np.arange(200).astype("float64"), np.nan),
     }).drop_duplicates(["k", "ts"])
     probe = pd.DataFrame({
         "k": keys[200:],
@@ -733,17 +739,21 @@ def test_asof_join_hot_key_split_matches_plain(spark):
     })
     sdf, pdf = spark.createDataFrame(state), spark.createDataFrame(probe)
     plain = {
-        r["pid"]: r["sval_asof"]
-        for r in asof_join(pdf, sdf, "k", "ts", ["sval"]).collect()
+        r["pid"]: (r["sval_asof"], r["aux_asof"])
+        for r in asof_join(pdf, sdf, "k", "ts", ["sval", "aux"]).collect()
     }
     split = {
-        r["pid"]: r["sval_asof"]
+        r["pid"]: (r["sval_asof"], r["aux_asof"])
         for r in asof_join(
-            pdf, sdf, "k", "ts", ["sval"], split_seconds=3600
+            pdf, sdf, "k", "ts", ["sval", "aux"], split_seconds=3600
         ).collect()
     }
     assert len(split) == 400
     assert split == plain
+    # the NULL-bearing column must actually exercise the carry: some
+    # probe sees a non-null aux (else the fixture proves nothing)
+    assert any(v[1] is not None for v in split.values())
+    split = {p: v[0] for p, v in split.items()}
     # and the plain path itself is pinned against pandas elsewhere; spot
     # re-check the independent oracle here on the split output
     expect = pd.merge_asof(

@@ -269,6 +269,54 @@ def test_table_mirror_filtered_projection(spark, tmp_path):
     assert kinds == {"a": "INSERT"}
 
 
+def test_table_mirror_crash_redelivery_no_duplicates(spark, tmp_path):
+    """ADVICE r05: a crash between the mirror's append_delta and its
+    cursor write, followed by NEW upstream commits, re-delivers the old
+    range under a NEW to_version epoch id — the ledger alone cannot
+    skip it. The mirror must fast-forward its cursor from the ledger so
+    the redelivered half is never re-applied: downstream raw rows stay
+    unique per (key, _rev) even for a downstream created with
+    assume_unique_rev."""
+    import json as _json
+
+    from pyspark.sql import functions as F, types as T
+
+    from bitcoin_etl_spark.lake.table import LakeTable
+    from bitcoin_etl_spark.streaming.feed import TableMirror
+
+    payload = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("val", T.LongType(), True),
+    ])
+    up = LakeTable.create(str(tmp_path / "up"), payload, n_buckets=4)
+    down = LakeTable.create(
+        str(tmp_path / "down"), payload, n_buckets=4,
+        properties={"assume_unique_rev": True},
+    )
+
+    def delta(rows, epoch):
+        up.append_delta(spark.createDataFrame(
+            rows, "doc_id string, val long, _rev long, _deleted boolean"
+        ), epoch_id=epoch)
+
+    cursor = str(tmp_path / "cursor.json")
+    delta([("a", 1, 1, False), ("b", 2, 2, False)], 0)
+    TableMirror(spark, up, down, cursor).run_available()
+
+    # simulate the crash: rows + ledger committed, cursor write lost
+    _json.dump({"last_version": 0}, open(cursor, "w"))
+    # new upstream commit moves the head — redelivery would use a NEW id
+    delta([("c", 3, 3, False)], 1)
+    TableMirror(spark, up, down, cursor).run_available()
+
+    state = {r["doc_id"]: r["val"] for r in down.read_final(spark).collect()}
+    assert state == {"a": 1, "b": 2, "c": 3}
+    raw = down.read_raw(spark).groupBy("doc_id", "_rev").agg(
+        F.count("*").alias("n")
+    ).filter(F.col("n") > 1).collect()
+    assert raw == [], f"duplicate (key,_rev) rows appended: {raw}"
+
+
 def test_table_mirror_follows_schema_evolution(spark, tmp_path):
     """A full (no-projection) TableMirror follows upstream ADDITIVE
     schema evolution: new columns appear downstream automatically (the
