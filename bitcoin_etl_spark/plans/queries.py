@@ -3620,58 +3620,62 @@ ORACLES["ann_pq_codes"] = _pq_sql()
 # (tests/test_queries_vs_duckdb.py) regardless of position; the rotation
 # below only chooses which subset ALSO gets independent driver evidence.
 #
-# Round-5 rotation (VERDICT r04 #4): the 27 queries displaced from the
-# r04 window (their driver rows are r02/r03-old — and several were
-# materially rewritten in round 4: the minhash/LSH-banded token-frame
-# split, the decontamination corpus stream, the four ann_* queries over
-# the reworked similarity module) move to the FRONT so every query's
-# driver row becomes ≤2 rounds old; round-5 additions follow, then the
-# r04-green remainder in registration order. The union of driver-green
-# rows across rounds covers the full registry; per-round window
-# membership is documented in COVERAGE.md.
+# Round-6 rotation (VERDICT r05 "Next round" #1): the 38 queries whose
+# driver rows are r04-old move to the FRONT, so the r06 window re-
+# verifies exactly the half of the registry the r05 window displaced —
+# keeping every driver row ≤2 rounds old (r05 ∪ r06 again covers all
+# 88). Leading are `events_asof_join` and `events_kmv_distinct`, whose
+# underlying operators changed in round 5 on r04 evidence — and this
+# round additionally touched the winnowing (Arrow fingerprint path),
+# decontamination (+_spread), components (LSH barrier), and asof-carry
+# (per-column NULL fix) operators, all of whose queries sit in this
+# window, so the driver independently re-proves every operator modified
+# by the optimization round. Positions 39-50 fall to the first 12
+# non-priority registrations — the CDC core, whose engine (compaction
+# strategy, _changes_from_events spread) also changed this round.
+# Every query is ALWAYS verified by the local pytest mirror regardless
+# of position; per-round window membership is documented in COVERAGE.md.
 _DRIVER_WINDOW_PRIORITY = [
-    # -- rewritten in round 4 while riding r02/r03 driver rows --
-    "dedup_minhash_lsh",
-    "dedup_lsh_banded",
-    "ann_cosine_topk",
-    "ann_cosine_topk_fast",
-    "ann_lsh_hyperplane_buckets",
-    "ann_ivf_topk",
-    "ann_embedding_near_dup",
-    "ann_bucket_stats",
-    # -- perf-weak in BENCH_r04 (needs fresh correctness + bench row) --
-    "dedup_simhash_hamming",
-    "kafka_codec_roundtrip",
-    # -- remaining r02/r03-row holders, registration order --
-    "events_json_extract",
-    "set_union_items",
-    "pivot_status_by_priority",
-    "rollup_docs_by_source_lang",
-    "simhash_docs",
-    "cdc_existence_probe",
-    "cdc_except_changed",
-    "cdc_avg_diagnostics",
-    "cdc_theta_disagreement",
-    "cdc_filter_items",
-    "multimodal_features",
-    "multimodal_meta",
-    "dedup_ngram_jaccard",
-    "convert_list_fields",
-    "text_token_counts",
-    "q7_nation_volume",
-    "q10_returned_items",
-    # -- round-5 additions (first driver row needed) --
-    "cdc_churn_by_epoch",
-    "sample_weighted_ppm",
-    "q12_priority_by_status",
-    "q14_promo_revenue",
-    "text_bigram_lm_counts",
-    "events_hopping_window",
-    "ann_pq_codes",
-    "q4_late_order_priority",
-    "text_vocab_coverage",
-    "events_asof_join_split",
-    "dedup_keep_best",
+    # -- operators modified in r5 while riding r04 driver rows --
+    "events_asof_join",
+    "events_kmv_distinct",
+    # -- the other 36 r04-row holders, registration order --
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q18_large_orders",
+    "events_tumbling_window",
+    "events_sessionize",
+    "events_topk_per_user",
+    "text_quality",
+    "langid_heuristic",
+    "text_ngram_profile",
+    "dedup_exact",
+    "dedup_components",
+    "events_funnel",
+    "embedding_quantize_stats",
+    "events_rolling_sum",
+    "multimodal_frame_sample",
+    "sample_stratified",
+    "pack_token_chunks",
+    "text_pii_redact",
+    "dedup_ngram_jaccard_capped",
+    "pack_greedy_firstfit",
+    "text_salient_terms",
+    "ann_kmeans_step",
+    "text_winnow_fingerprints",
+    "dedup_winnow_pairs",
+    "text_quality_filter",
+    "corpus_clean_pipeline",
+    "decontaminate_overlap",
+    "split_assign",
+    "text_repetition_stats",
+    "events_session_rollup",
+    "events_range_join",
+    "cdc_scd2_history",
+    "cdc_snapshot_diff",
+    "events_value_percentiles",
+    "events_value_histogram",
 ]
 
 
