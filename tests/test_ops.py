@@ -326,6 +326,29 @@ def test_winnow_shared_substring_guarantee(spark):
     assert 0 < len(out["c"]["fps"]) < out["c"]["n_grams"]
 
 
+def test_minhash_arrow_matches_expressions(spark, docs):
+    """The Arrow (hashlib+numpy mapInPandas) minhash path must be
+    bit-identical to the expression path — including Java-\\s tokenize
+    semantics (tabs/newlines/odd spacing), the omit-short-docs edge
+    (explode of an empty shingle array drops the doc), and null text."""
+    from bitcoin_etl_spark.ops.dedup import minhash_signatures
+
+    edge = spark.createDataFrame(
+        [(9001, "one two"), (9002, None), (9003, "a\tb\nc  d\x0be"),
+         (9004, " leading and trailing  "), (9005, "")],
+        ["doc_id", "text"],
+    )
+    src = docs.select("doc_id", "text").limit(80).unionByName(edge)
+    for n_hashes, k in ((16, 3), (8, 2)):
+        fast = minhash_signatures(
+            src, n_hashes=n_hashes, shingle_k=k, use_arrow=True)
+        ref = minhash_signatures(
+            src, n_hashes=n_hashes, shingle_k=k, use_arrow=False)
+        assert fast.schema == ref.schema
+        assert fast.exceptAll(ref).count() == 0
+        assert ref.exceptAll(fast).count() == 0
+
+
 def test_winnow_arrow_matches_expressions(spark, docs):
     """The Arrow (hashlib+numpy mapInPandas) fingerprint path must be
     bit-identical to the Column-expression path, including the short-doc
