@@ -359,7 +359,21 @@ def hamming_near_pairs(sim: DataFrame, id_col: str = "doc_id",
     per-band equi-joins (never all-pairs), then verified by
     bit_count(xor) ≤ max_hamming. Shuffle = O(docs × (max_hamming+1));
     the round-1 single-prefix variant missed pairs whose differing bits
-    fell in the prefix and is gone."""
+    fell in the prefix and is gone.
+
+    Shape (r06): the band join runs over DISTINCT fingerprint VALUES,
+    not docs — near-dup corpora repeat fingerprints heavily (sf1.0:
+    50k docs, 34.4k values, and the band-bucket Σf² probe volume drops
+    1.75B → 0.6B because hot buckets repeat values), and hamming
+    depends only on the values. Qualifying (va < vb) value pairs are
+    then expanded back to doc pairs through two broadcast joins against
+    the tiny per-doc signature frame, and same-value doc pairs
+    (hamming 0) come from one broadcast self-equi-join. Every pair is
+    emitted exactly once: value pairs only from their LOWEST agreeing
+    band (agree_mask/premask arithmetic — no union + distinct over the
+    multiplied candidate stream), doc pairs once per value pair with
+    (least, greatest) orientation, and the intra-value branch is
+    disjoint from the cross-value one by construction."""
     n_bands = max_hamming + 1
     bounds = [round(i * bits / n_bands) for i in range(n_bands + 1)]
     # self-join barrier: both sides read the (one-row-per-doc) signature
@@ -367,8 +381,17 @@ def hamming_near_pairs(sim: DataFrame, id_col: str = "doc_id",
     # aggregation twice (see lsh_candidate_pairs)
     if not sim.isStreaming:
         sim = sim.localCheckpoint()
-    # one explode, not a union of n_bands projections of the (shuffled)
-    # simhash subtree — see lsh_candidate_pairs
+    # AQE coalesces the tiny distinct's shuffle to ONE partition, which
+    # would single-task the entire band-probe loop (the probe volume is
+    # Σ bucket² over ~0.6B at sf1.0, not the 34k value rows) — spread
+    # the value frame to cluster parallelism before it becomes the
+    # probe side
+    par = sim.sparkSession.sparkContext.defaultParallelism
+    vals = sim.select("simhash").distinct().repartition(par)
+    if not sim.isStreaming:
+        vals = vals.localCheckpoint()
+    # one explode, not a union of n_bands projections — see
+    # lsh_candidate_pairs
     band_arr = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -382,19 +405,10 @@ def hamming_near_pairs(sim: DataFrame, id_col: str = "doc_id",
         )
         for b in range(n_bands)
     ])
-    banded = sim.select(
-        F.col(id_col), F.col("simhash"), F.explode(band_arr).alias("_bb")
-    ).select(id_col, "simhash", "_bb.band", "_bb.bkey", "_bb.premask")
+    banded = vals.select(
+        F.col("simhash"), F.explode(band_arr).alias("_bb")
+    ).select("simhash", "_bb.band", "_bb.bkey", "_bb.premask")
     a, b_ = banded.alias("a"), banded.alias("b")
-    # Each qualifying pair agrees on >= 1 band, so the naive union of
-    # per-band joins emits it once PER agreeing band (a hamming-0 pair:
-    # all n_bands times) and needs a distinct over the multiplied
-    # stream — an exchange + two hash aggregates over hundreds of
-    # millions of rows at sf1.0. Instead emit each pair exactly once,
-    # from its LOWEST agreeing band: agree_mask is the bitmask of bands
-    # on which the two fingerprints agree (pure xor/shift arithmetic),
-    # and the row for band B survives only when no band below B agrees.
-    # Result multiset is identical with zero dedup work.
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     agree_mask = None
     for b in range(n_bands):
@@ -405,23 +419,54 @@ def hamming_near_pairs(sim: DataFrame, id_col: str = "doc_id",
         ).otherwise(F.lit(0))
         agree_mask = term if agree_mask is None else agree_mask + term
     first_band = agree_mask.bitwiseAND(F.col("a.premask")) == 0
-    return (
+    vpairs = (
         a.join(
             b_,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("a.simhash") < F.col("b.simhash"))
             & (F.bit_count(xor) <= max_hamming)
             & first_band,
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("_va"),
+            F.col("b.simhash").alias("_vb"),
             F.bit_count(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
     )
+    # expand value pairs to doc pairs: the signature frame is one narrow
+    # row per doc — broadcast it to both attachment joins so the (large)
+    # value-pair stream is never shuffled
+    da = sim.select(F.col(id_col).alias("_ida"),
+                    F.col("simhash").alias("_va"))
+    db = sim.select(F.col(id_col).alias("_idb"),
+                    F.col("simhash").alias("_vb"))
+    cross = (
+        vpairs.join(F.broadcast(da), "_va")
+        .join(F.broadcast(db), "_vb")
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "hamming",
+        )
+    )
+    # same-fingerprint doc pairs (hamming 0): broadcast self-equi-join
+    sa, sb = sim.alias("sa"), sim.alias("sb")
+    intra = (
+        sa.join(
+            F.broadcast(sb),
+            (F.col("sa.simhash") == F.col("sb.simhash"))
+            & (F.col(f"sa.{id_col}") < F.col(f"sb.{id_col}")),
+        )
+        .select(
+            F.col(f"sa.{id_col}").alias("id_a"),
+            F.col(f"sb.{id_col}").alias("id_b"),
+            F.lit(0).cast("integer").alias("hamming"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 DEFAULT_MAX_DOC_FREQ = 10_000
