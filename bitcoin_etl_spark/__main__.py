@@ -198,7 +198,14 @@ def cmd_staged(args):
     table = _open_table(args)
     if args.action == "list":
         print(json.dumps(table.staged_commits()))
-    elif args.action == "publish":
+        return
+    if not args.id:  # ADVICE r05: fail as a usage error, not a
+        # confusing 'no staged commit None' FileNotFoundError
+        raise SystemExit(
+            f"staged {args.action} requires --id <staging-id> "
+            f"(see `staged list`)"
+        )
+    if args.action == "publish":
         print(json.dumps(table.publish_staged(args.id)))
     else:
         print(json.dumps(table.abort_staged(args.id)))
