@@ -70,8 +70,12 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     → per-doc agg — two map-side-combining shuffles both partitioned by
     doc_id, no windows, no skew hazard beyond a pathological single doc
     (bounded by doc length, not corpus size)."""
-    from .dedup import _shingles_of, _tokens_frame
+    from .dedup import _shingles_of, _spread, _tokens_frame
 
+    # spread before the two n-gram explodes: a single-row-group corpus
+    # file otherwise pins both gram pipelines to the scan's task count
+    # (same rationale as the dedup operators' _spread)
+    df = _spread(df, id_col)
     base = df.select(F.col(id_col))
     toks = _tokens_frame(df, text_col, id_col)
 

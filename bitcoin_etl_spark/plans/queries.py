@@ -2488,8 +2488,13 @@ def _quality_verdicts(docs: DataFrame) -> DataFrame:
     """Per-doc C4/Gopher-rule flags + `keep` conjunction (see
     `text_quality_filter` for the rule list). Shared by the standalone
     filter query and the corpus_clean_pipeline composite."""
+    from ..ops.dedup import _spread
     from ..ops.text import repetition_stats, tokenize
 
+    # spread once: the per-token higher-order lambdas below (aggregate/
+    # filter/isin) and repetition_stats' gram explodes otherwise run on
+    # the single corpus file's scan-task count
+    docs = _spread(docs, "doc_id")
     toks = tokenize(F.col("text"))
     base = docs.select(
         "doc_id",
@@ -2685,10 +2690,15 @@ def corpus_clean_pipeline(spark, sf_dir):
     from ..ops.dedup import dedup_keep_policy, winnow_candidate_pairs
 
     docs = load(spark, sf_dir, "documents")
-    q = _quality_verdicts(docs)
+    # the verdict frame feeds BOTH the survivor filter and the final
+    # per-doc join, and `kept` feeds pair generation AND the keep
+    # policy — barrier both (one narrow row per doc) or the whole
+    # quality tree (two n-gram explode+agg pipelines) re-executes once
+    # per consumer (measured 32.9 s -> ~8 s at sf1.0)
+    q = _quality_verdicts(docs).localCheckpoint()
     kept = docs.join(
         q.filter(F.col("keep")).select("doc_id"), "doc_id"
-    )
+    ).localCheckpoint()
     pairs = winnow_candidate_pairs(kept, k=32, w=16, min_shared=2)
     kp = dedup_keep_policy(kept, pairs)
     out = q.select(
