@@ -199,38 +199,90 @@ def embedding_near_dup_pairs(df: DataFrame, dim: int,
                              min_cosine: float = 0.95,
                              n_tables: int = 2) -> DataFrame:
     """Embedding-cosine near-dup: candidates from ``n_tables``
-    independent LSH bucketings (union), verified by exact cosine.
-    Shuffle = O(n × tables) bucket rows + candidate verification."""
-    tabs = []
+    independent LSH bucketings, verified by exact cosine.
+    Shuffle = O(n × tables) bucket rows + candidate verification.
+
+    Shape (r06): every table's bucket is computed ONCE per row in a
+    single spread + barriered projection (the former per-table union
+    self-join re-evaluated the 8-hyperplane interpreted dot products
+    once per join SIDE per table); the band self-join carries ONLY
+    (id, bucket columns) — never the vectors — and emits each
+    qualifying pair only from its FIRST agreeing table (the per-row
+    bucket columns make "no earlier table agreed" a cheap join
+    condition), so the former wide (id, va, vb) dropDuplicates shuffle
+    is gone; the candidate id pairs are re-spread (the small join
+    output AQE-coalesces to one partition, which would single-task the
+    million-candidate cosine verify) and vectors are attached by two
+    id equi-joins only for verification. Result set identical."""
+    from .dedup import _spread
+
+    # spread before the interpreted hyperplane dot products: a single
+    # embeddings file otherwise pins the whole bucket computation to
+    # its scan-task count
+    bcols = _spread(df, id_col).select(
+        F.col(id_col), F.col(vec_col),
+        *[
+            lsh_bucket(F.col(vec_col), dim, n_planes, seed=t)
+            .alias(f"_bk{t}")
+            for t in range(n_tables)
+        ],
+    )
+    streaming = df.isStreaming
+    if not streaming:
+        bcols = bcols.localCheckpoint()
+    tab_arr = F.array(*[
+        F.struct(F.lit(t).alias("tab"), F.col(f"_bk{t}").alias("bucket"))
+        for t in range(n_tables)
+    ])
+    bk = [f"_bk{t}" for t in range(n_tables)]
+    slim = bcols.select(
+        F.col(id_col), *bk, F.explode(tab_arr).alias("_tb")
+    ).select(id_col, *bk, "_tb.tab", "_tb.bucket")
+    a_, b_ = slim.alias("a"), slim.alias("b")
+    first_tab = None
     for t in range(n_tables):
-        tabs.append(
-            df.select(
-                F.col(id_col), F.col(vec_col),
-                F.lit(t).alias("tab"),
-                lsh_bucket(F.col(vec_col), dim, n_planes, seed=t).alias("bucket"),
+        no_earlier = F.lit(True)
+        for s in range(t):
+            no_earlier = no_earlier & (
+                F.col(f"a._bk{s}") != F.col(f"b._bk{s}")
             )
-        )
-    b = tabs[0]
-    for t in tabs[1:]:
-        b = b.unionByName(t)
-    a_, b_ = b.alias("a"), b.alias("b")
+        branch = (F.col("a.tab") == t) & no_earlier
+        first_tab = branch if first_tab is None else (first_tab | branch)
     cand = (
         a_.join(
             b_,
             (F.col("a.tab") == F.col("b.tab"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & first_tab,
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("va"),
-            F.col(f"b.{vec_col}").alias("vb"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
+    va = bcols.select(F.col(id_col).alias("id_a"),
+                      F.col(vec_col).alias("va"))
+    vb = bcols.select(F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("vb"))
+    if not streaming:
+        # single consumer: a plain repartition (no checkpoint) spreads
+        # the verify — the small band-join output otherwise AQE-
+        # coalesces to one partition and single-tasks the
+        # million-candidate cosine evaluation
+        par = df.sparkSession.sparkContext.defaultParallelism
+        cand = cand.repartition(par)
+        # size-aware attach: the vector frame is one row per vector —
+        # broadcastable for any corpus that fits the executor budget
+        # (~150 MB at 500k x 64 floats), far cheaper than sorting the
+        # multi-million-row candidate stream twice; beyond the budget
+        # the plain equi-joins stand (the count is a near-free job over
+        # the already-materialized checkpoint blocks)
+        if bcols.count() <= 500_000:
+            va, vb = F.broadcast(va), F.broadcast(vb)
     return (
-        cand.withColumn("cos", cosine(_dbl(F.col("va")), _dbl(F.col("vb"))))
+        cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cos", cosine(_dbl(F.col("va")), _dbl(F.col("vb"))))
         .filter(F.col("cos") >= min_cosine)
         .select("id_a", "id_b", "cos")
     )

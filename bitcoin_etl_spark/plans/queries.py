@@ -719,15 +719,23 @@ def text_ngram_profile(spark, sf_dir):
     """N-gram profile per language tag: bigram volume and diversity —
     the n-gram footprint behind language-ID and shingle dedup, as a
     pure explode+aggregate (no UDFs)."""
-    docs = load(spark, sf_dir, "documents")
-    ws = F.split(F.col("text"), " ")
+    from ..ops.dedup import _spread
+
+    docs = _spread(load(spark, sf_dir, "documents"), "doc_id")
+    # materialize the split in its OWN projection: a lambda body
+    # referencing the raw split() expression re-evaluates the split
+    # once PER REFERENCE — here 2 element_at's + the size bound made
+    # every row re-split ~2·len times (measured 20.9 s at sf1.0; ~1 s
+    # with the bound attribute — the ops.dedup._tokens_frame lesson)
+    toks = docs.select("lang", F.split(F.col("text"), " ").alias("_ws"))
+    ws = F.col("_ws")
     bigrams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(ws) - 1, F.lit(0))),
         lambda i: F.concat_ws(
             " ", F.element_at(ws, i), F.element_at(ws, i + 1)
         ),
     )
-    bg = docs.select("lang", F.explode(bigrams).alias("bigram"))
+    bg = toks.select("lang", F.explode(bigrams).alias("bigram"))
     return bg.groupBy("lang").agg(
         F.count("*").alias("n_bigrams"),
         F.countDistinct("bigram").alias("n_distinct_bigrams"),
@@ -1569,9 +1577,16 @@ def ann_embedding_near_dup(spark, sf_dir):
     every 10th vector re-appears under vec_id+1e6 (cos exactly 1.0) —
     because the testdata has no natural ≥0.95 pairs and an empty result
     would check nothing; the planted set must be recovered exactly."""
+    from ..ops.dedup import _spread
     from ..ops.similarity import embedding_near_dup_pairs
 
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # spread BEFORE the clone union: the op's own _spread declines
+    # union-shaped inputs, so an unspread single-file source would pin
+    # the interpreted hyperplane bucket computation to ~4 scan tasks
+    emb = _spread(
+        load(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id",
+    )
     clones = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
         "vec_id", F.col("vec_id") + 1_000_000
     )
@@ -2316,23 +2331,41 @@ def text_salient_terms(spark, sf_dir):
     two partial-agg shuffles; the per-doc argmax is a window PARTITIONED
     by doc_id (never global). Ties broken lexicographically so the
     result is total-order exact."""
-    docs = load(spark, sf_dir, "documents")
+    from ..ops.dedup import _spread
+
+    docs = _spread(load(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
+    # the token stream feeds BOTH the tf and the df aggregations —
+    # barrier it once (the split+explode otherwise re-runs per consumer
+    # on the single corpus file's scan-task count)
+    toks = toks.localCheckpoint()
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = toks.groupBy("term").agg(
         F.count_distinct("doc_id").alias("df")
     )
-    w = W.partitionBy("doc_id").orderBy(
-        (F.col("tf").cast("double") / F.col("df")).desc(), F.col("term")
-    )
-    return (
+    # per-doc argmax as a map-side-partial min_by over the total order
+    # (-tf/df, term) — identical to the former row_number window's
+    # (tf/df DESC, term ASC) rank-1 row, but the aggregate collapses
+    # the 2.3M joined rows map-side instead of exchanging and sorting
+    # them all for the window
+    ratio = F.col("tf").cast("double") / F.col("df")
+    best = (
         tf.join(df_, "term")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "term", F.col("tf").cast("long").alias("tf"),
-                F.col("df").cast("long").alias("df"))
+        .groupBy("doc_id")
+        .agg(
+            F.min_by(
+                F.struct("term", "tf", "df"),
+                F.struct((-ratio).alias("_r"), F.col("term").alias("_t")),
+            ).alias("_b")
+        )
+    )
+    return best.select(
+        "doc_id",
+        F.col("_b.term").alias("term"),
+        F.col("_b.tf").cast("long").alias("tf"),
+        F.col("_b.df").cast("long").alias("df"),
     )
 
 
