@@ -178,25 +178,27 @@ def _winnow_batches(k: int, w: int, id_col: str, text_col: str):
                     fpss.append([])
                     continue
                 b = s.encode("utf-8")
+                md5 = hashlib.md5
                 if len(b) == len(s):
-                    # ASCII: byte slices == char slices (zero-copy-ish)
-                    hs = np.fromiter(
-                        (int.from_bytes(
-                            hashlib.md5(b[i:i + k]).digest()[:4], "big")
-                         for i in range(n)),
-                        dtype=np.int64, count=n,
-                    )
+                    # ASCII: byte slices == char slices; bulk-convert
+                    # all 4-byte digest prefixes in one frombuffer
+                    hs = np.frombuffer(
+                        b"".join(
+                            md5(b[i:i + k]).digest()[:4]
+                            for i in range(n)
+                        ),
+                        dtype=">u4",
+                    ).astype(np.int64)
                 else:
                     # non-ASCII: slice by code point exactly like
                     # Spark's substring, encode each gram
-                    hs = np.fromiter(
-                        (int.from_bytes(
-                            hashlib.md5(
-                                s[i:i + k].encode("utf-8")).digest()[:4],
-                            "big")
-                         for i in range(n)),
-                        dtype=np.int64, count=n,
-                    )
+                    hs = np.frombuffer(
+                        b"".join(
+                            md5(s[i:i + k].encode("utf-8")).digest()[:4]
+                            for i in range(n)
+                        ),
+                        dtype=">u4",
+                    ).astype(np.int64)
                 m = n - (w - 1)
                 if m < 1:
                     sel = []
